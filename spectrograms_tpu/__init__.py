@@ -1,0 +1,140 @@
+"""spectrograms_tpu — TPU-native spectrogram & feature-extraction framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability surface of the
+``jmg049/Spectrograms`` Rust crate: windowed real STFT with linear / Mel /
+log-Hz / ERB / CQT frequency scales and power / magnitude / dB amplitude
+scales; MFCC, chromagram, MDCT/IMDCT, istft; FFT-based 1-D/2-D convolution,
+deconvolution, minimum-phase, image filtering; binaural ITD/IPD/ILD/ILR;
+streaming operation; batch + multi-host data parallelism via ``shard_map``.
+
+The flat namespace mirrors the reference's crate-root re-exports
+(``/root/reference/src/lib.rs:357-384``) and Python package ``__all__``
+(``/root/reference/python/spectrograms/__init__.py:56-140``).
+"""
+
+from __future__ import annotations
+
+from .errors import (
+    SpectrogramError,
+    InvalidInputError,
+    DimensionMismatchError,
+    FftBackendError,
+    InternalError,
+)
+from .dtypes import parse_dtype, complex_dtype, ensure_x64
+from .windows import (
+    WindowType,
+    make_window,
+    parse_window,
+    hanning_window,
+    hamming_window,
+    blackman_window,
+    rectangular_window,
+    kaiser_window,
+    gaussian_window,
+)
+from .params import (
+    StftParams,
+    StftParamsBuilder,
+    SpectrogramParams,
+    SpectrogramParamsBuilder,
+    LogParams,
+    MelNorm,
+    MelParams,
+    LogHzParams,
+    ErbSpacing,
+    ErbParams,
+    GammatoneParams,
+    CqtParams,
+    ChromaNorm,
+    ChromaParams,
+    N_CHROMA,
+    MfccParams,
+    r2c_output_size,
+)
+from .pipeline import (
+    FreqScale,
+    AmpScale,
+    Spectrogram,
+    SpectrogramPlan,
+    SpectrogramPlanner,
+    StftPlan,
+    StftResult,
+)
+from .ops.stft import fft, rfft, irfft, power_spectrum, magnitude_spectrum, stft, istft
+from .ops.filterbanks import (
+    hz_to_mel,
+    mel_to_hz,
+    hz_to_erb,
+    erb_to_hz,
+    mel_filterbank,
+    chroma_filterbank,
+)
+from .functions import *  # noqa: F401,F403 — compute_* one-shots
+from .functions import __all__ as _functions_all
+
+__version__ = "0.1.0"
+
+__all__ = [
+    # errors
+    "SpectrogramError",
+    "InvalidInputError",
+    "DimensionMismatchError",
+    "FftBackendError",
+    "InternalError",
+    # dtypes
+    "parse_dtype",
+    "complex_dtype",
+    "ensure_x64",
+    # windows
+    "WindowType",
+    "make_window",
+    "parse_window",
+    "hanning_window",
+    "hamming_window",
+    "blackman_window",
+    "rectangular_window",
+    "kaiser_window",
+    "gaussian_window",
+    # params
+    "StftParams",
+    "StftParamsBuilder",
+    "SpectrogramParams",
+    "SpectrogramParamsBuilder",
+    "LogParams",
+    "MelNorm",
+    "MelParams",
+    "LogHzParams",
+    "ErbSpacing",
+    "ErbParams",
+    "GammatoneParams",
+    "CqtParams",
+    "ChromaNorm",
+    "ChromaParams",
+    "N_CHROMA",
+    "MfccParams",
+    "r2c_output_size",
+    # pipeline
+    "FreqScale",
+    "AmpScale",
+    "Spectrogram",
+    "SpectrogramPlan",
+    "SpectrogramPlanner",
+    "StftPlan",
+    "StftResult",
+    # spectral ops
+    "fft",
+    "rfft",
+    "irfft",
+    "power_spectrum",
+    "magnitude_spectrum",
+    "stft",
+    "istft",
+    # scale math
+    "hz_to_mel",
+    "mel_to_hz",
+    "hz_to_erb",
+    "erb_to_hz",
+    "mel_filterbank",
+    "chroma_filterbank",
+] + list(_functions_all)

@@ -1,0 +1,89 @@
+"""Precision handling.
+
+The reference binds precision through a sealed ``Sample`` trait
+(``/root/reference/src/sample.rs:23-86``) and a Python ``dtype=`` string knob
+(``/root/reference/src/python/dtype.rs``). On TPU the idiomatic analog is a
+plain dtype argument: all *constants* (windows, filterbanks, DFT/DCT matrices)
+are built in float64 NumPy and cast at the edge — exactly the reference's
+build-in-f64-cast-at-apply policy (``/root/reference/src/spectrogram.rs:106-115``)
+— while on-device compute runs in the requested dtype.
+
+float64 on TPU is emulated and slow; it exists for verification (run it on the
+CPU backend). The TPU-native default is float32.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from .errors import InvalidInputError
+
+__all__ = ["parse_dtype", "complex_dtype", "DEFAULT_DTYPE", "ensure_x64"]
+
+# TPU-first default. The reference defaults to float64
+# (/root/reference/src/python/dtype.rs: parse_dtype default f64); we default to
+# float32 because that is the native TPU precision — pass dtype="float64" for
+# the verification path.
+DEFAULT_DTYPE = np.float32
+
+_ALIASES = {
+    "float32": np.float32,
+    "f32": np.float32,
+    "float64": np.float64,
+    "f64": np.float64,
+    "bfloat16": None,  # filled in below
+    "bf16": None,
+}
+
+try:  # bfloat16 via ml_dtypes (always present with jax)
+    import ml_dtypes
+
+    _ALIASES["bfloat16"] = ml_dtypes.bfloat16
+    _ALIASES["bf16"] = ml_dtypes.bfloat16
+except ImportError:  # pragma: no cover
+    del _ALIASES["bfloat16"], _ALIASES["bf16"]
+
+
+def parse_dtype(dtype=None) -> np.dtype:
+    """Parse a dtype spec ("float32"/"f32"/"float64"/"f64"/"bfloat16"/…).
+
+    Accepts strings, numpy dtypes, and python types. ``None`` gives the
+    framework default (float32).
+    """
+    if dtype is None:
+        return np.dtype(DEFAULT_DTYPE)
+    if isinstance(dtype, str):
+        key = dtype.strip().lower()
+        if key in _ALIASES:
+            return np.dtype(_ALIASES[key])
+        raise InvalidInputError(
+            f"unsupported dtype {dtype!r}; expected one of "
+            f"{sorted(_ALIASES)}"
+        )
+    try:
+        dt = np.dtype(dtype)
+    except TypeError as e:
+        raise InvalidInputError(f"unsupported dtype {dtype!r}") from e
+    if dt.kind not in ("f", "V"):  # V covers bfloat16
+        raise InvalidInputError(f"unsupported dtype {dtype!r}: must be floating")
+    return dt
+
+
+def complex_dtype(real_dtype) -> np.dtype:
+    """Complex counterpart of a real dtype (bf16/f32 → c64, f64 → c128)."""
+    dt = np.dtype(real_dtype)
+    if dt == np.float64:
+        return np.dtype(np.complex128)
+    return np.dtype(np.complex64)
+
+
+def ensure_x64(dtype) -> None:
+    """Raise if a float64 computation is requested without jax x64 enabled."""
+    dt = np.dtype(dtype)
+    if dt == np.float64 and not jax.config.jax_enable_x64:
+        raise InvalidInputError(
+            "dtype='float64' requires jax x64 mode; call "
+            "jax.config.update('jax_enable_x64', True) first (float64 on TPU "
+            "is emulated — use the CPU backend for f64 verification)"
+        )

@@ -1,0 +1,90 @@
+"""Constant-Q transform kernels, MXU-formulated.
+
+The reference builds per-bin variable-length windowed complex exponentials and
+correlates them against the end of each frame in the time domain
+(``/root/reference/src/cqt.rs:316-514``). On TPU we keep the identical kernel
+*math* (length ⌈Q·sr/f_c⌋ clamped, sparsity thresholding, unit-energy
+normalization, correlation against the frame tail) but pack all kernels into
+one dense rectangular real matrix pair, right-aligned and zero-padded to the
+frame length — so the whole CQT becomes two real matmuls per frame block:
+
+    re = frames @ K_reᵀ-cols,   im = frames @ K_imᵀ-cols   (K conjugated)
+
+Variable kernel lengths cost nothing: the zero padding is multiplied on the
+MXU anyway, and rows are already sparsity-thresholded.
+
+The CQT mapping consumes **unwindowed** frames — the kernels carry their own
+window (double-windowing trap, ``/root/reference/src/spectrogram.rs:1664``).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from ..params import CqtParams
+from ..windows import make_window
+
+__all__ = ["cqt_kernel_matrices", "cqt_bin_frequencies"]
+
+
+@lru_cache(maxsize=32)
+def _cqt_kernels_cached(params: CqtParams, sample_rate: float, frame_length: int):
+    num_bins = params.num_bins
+    rows_re, rows_im, freqs = [], [], []
+
+    for bin_idx in range(num_bins):
+        fc = params.bin_frequency(bin_idx)
+        if fc >= sample_rate / 2.0:
+            break  # reference stops generating bins at Nyquist
+
+        kernel_length = int(np.round(params.q_factor * sample_rate / fc))
+        kernel_length = max(1, min(kernel_length, frame_length))
+
+        w = make_window(params.window, kernel_length, np.float64)
+        t = np.arange(kernel_length, dtype=np.float64) / sample_rate
+        phase = 2.0 * np.pi * fc * t
+        kernel = (np.cos(phase) + 1j * np.sin(phase)) * w
+
+        if params.sparsity_threshold > 0.0:
+            mags = np.abs(kernel)
+            max_mag = mags.max()
+            if max_mag > 0.0:
+                kernel = np.where(mags < max_mag * params.sparsity_threshold, 0.0, kernel)
+
+        if params.normalize:
+            energy = float(np.sum(np.abs(kernel) ** 2))
+            if energy > 0.0:
+                kernel = kernel / np.sqrt(energy)
+
+        # Right-align: the reference correlates the kernel against the *end*
+        # of the frame (start_idx = len - kernel_length, cqt.rs:497).
+        row = np.zeros(frame_length, dtype=np.complex128)
+        row[frame_length - kernel_length :] = kernel
+        # Correlation uses conj(k): re += k.re·s, im += (-k.im)·s.
+        rows_re.append(row.real)
+        rows_im.append(-row.imag)
+        freqs.append(fc)
+
+    k_re = np.asarray(rows_re, dtype=np.float64)
+    k_im = np.asarray(rows_im, dtype=np.float64)
+    f = np.asarray(freqs, dtype=np.float64)
+    for a in (k_re, k_im, f):
+        a.setflags(write=False)
+    return k_re, k_im, f
+
+
+def cqt_kernel_matrices(params: CqtParams, sample_rate: float, frame_length: int):
+    """(K_re, K_im, freqs): (n_gen_bins, frame_length) real f64 matrices.
+
+    ``frames @ K_re.T`` / ``frames @ K_im.T`` give the real/imag parts of the
+    conjugate correlation of each kernel against the frame tail.
+    """
+    return _cqt_kernels_cached(params, float(sample_rate), int(frame_length))
+
+
+def cqt_bin_frequencies(params: CqtParams, sample_rate: float) -> np.ndarray:
+    """Center frequencies of the bins actually generated (below Nyquist)."""
+    _, _, freqs = cqt_kernel_matrices(params, sample_rate, 1)
+    return freqs

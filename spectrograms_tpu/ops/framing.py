@@ -1,0 +1,70 @@
+"""Signal framing with ``centre`` semantics.
+
+Index arithmetic parity with the reference's framing policy
+(``/root/reference/src/spectrogram.rs:1230-1337``):
+
+- ``centre=True``: the signal is *virtually* padded with ``n_fft//2`` zeros on
+  both sides; frame ``i`` covers virtual samples ``[i*hop, i*hop + n_fft)``.
+- ``centre=False``: no padding.
+- frame count: ``1`` if the (padded) signal is shorter than ``n_fft``, else
+  ``(padded_len - n_fft) // hop + 1``.
+
+On TPU there is no per-frame loop: the whole frame matrix is one gather from
+the zero-padded signal (or never materialized at all in the fused Pallas /
+matmul paths). Frame extraction is embarrassingly parallel — this is the axis
+that shards under sequence parallelism (see ``spectrograms_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import InvalidInputError
+
+__all__ = ["frame_count", "pad_amounts", "frame_signal", "frame_start_sample"]
+
+
+def frame_count(n_samples: int, n_fft: int, hop_size: int, centre: bool) -> int:
+    """Number of STFT frames for a signal of ``n_samples``."""
+    if n_samples <= 0:
+        raise InvalidInputError("signal must be non-empty")
+    pad = n_fft // 2 if centre else 0
+    padded_len = n_samples + 2 * pad
+    if padded_len < n_fft:
+        return 1
+    return (padded_len - n_fft) // hop_size + 1
+
+
+def pad_amounts(n_samples: int, n_fft: int, hop_size: int, centre: bool):
+    """(left_pad, right_pad, n_frames) so every frame reads in-bounds.
+
+    ``right_pad`` covers both the virtual centre padding and the case where a
+    single partial frame extends past the padded signal end.
+    """
+    n_frames = frame_count(n_samples, n_fft, hop_size, centre)
+    pad = n_fft // 2 if centre else 0
+    last_end = (n_frames - 1) * hop_size + n_fft  # in virtual indices
+    right = max(0, last_end - pad - n_samples)
+    return pad, right, n_frames
+
+
+def frame_start_sample(frame_idx: int, n_fft: int, hop_size: int, centre: bool) -> int:
+    """Signal-domain index of a frame's first sample (may be negative)."""
+    pad = n_fft // 2 if centre else 0
+    return frame_idx * hop_size - pad
+
+
+def frame_signal(x, n_fft: int, hop_size: int, centre: bool = True):
+    """Extract the (n_frames, n_fft) frame matrix from a 1-D signal.
+
+    Pure function of statically-shaped input — safe under jit/vmap. Uses a
+    single strided gather over the zero-padded signal.
+    """
+    n = x.shape[-1]
+    left, right, n_frames = pad_amounts(n, n_fft, hop_size, centre)
+    pad_widths = [(0, 0)] * (x.ndim - 1) + [(left, right)]
+    xp = jnp.pad(x, pad_widths)
+    starts = np.arange(n_frames, dtype=np.int32) * hop_size
+    idx = starts[:, None] + np.arange(n_fft, dtype=np.int32)[None, :]
+    return jnp.take(xp, jnp.asarray(idx), axis=-1)

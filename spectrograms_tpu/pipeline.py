@@ -1,0 +1,533 @@
+"""Spectrogram pipeline: plans, planner, and the result type.
+
+This is the TPU-native re-design of the reference's compiled-plan engine
+(``SpectrogramPlan``/``SpectrogramPlanner``/``Spectrogram``,
+``/root/reference/src/spectrogram.rs:172-1153, 2547-3160``):
+
+- The reference's *plan* (FFT twiddles + workspace buffers + per-frame hot
+  loop) becomes a **jit-compiled XLA program**: frame gather → windowed
+  real-DFT (as MXU matmuls for n_fft ≤ 4096, XLA FFT otherwise) → |·|² →
+  one dense filterbank matmul → elementwise amplitude scaling. jax's compile
+  cache, keyed on signal shape, plays the role of the global plan cache
+  (``/root/reference/src/fft_backend.rs:947-1082``).
+- The reference's phantom-typed ``Spectrogram<F, A, T>`` becomes a plain
+  dataclass carrying ``FreqScale``/``AmpScale`` enums.
+- The canonical intermediate is **power** (|X|², set at
+  ``/root/reference/src/spectrogram.rs:1332``); Magnitude/Decibels are applied
+  *after* frequency mapping, exactly as in the reference.
+- ``vmap`` turns any plan into a batch program (the reference's plan-reuse
+  loops); ``spectrograms_tpu.parallel`` shards that batch across a device mesh.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dtypes import complex_dtype, ensure_x64, parse_dtype
+from .errors import InvalidInputError
+from .params import (
+    ChromaParams,
+    CqtParams,
+    ErbParams,
+    LogHzParams,
+    LogParams,
+    MelParams,
+    SpectrogramParams,
+    r2c_output_size,
+)
+from .windows import make_window
+from .ops import filterbanks as fb
+from .ops.cqt import cqt_kernel_matrices
+from .ops.dft import MATMUL_MAX_N_FFT, rdft_matrices
+from .ops.framing import frame_count, frame_signal, pad_amounts
+from .ops import stft as stft_ops
+
+__all__ = [
+    "FreqScale",
+    "AmpScale",
+    "Spectrogram",
+    "SpectrogramPlan",
+    "SpectrogramPlanner",
+    "StftPlan",
+    "StftResult",
+]
+
+
+class FreqScale(enum.Enum):
+    """Frequency axis scale (reference marker types LinearHz/Mel/LogHz/Erb/Cqt)."""
+
+    LINEAR = "linear"
+    MEL = "mel"
+    LOG_HZ = "log_hz"
+    ERB = "erb"
+    CQT = "cqt"
+
+
+class AmpScale(enum.Enum):
+    """Amplitude scale (reference marker types Power/Magnitude/Decibels)."""
+
+    POWER = "power"
+    MAGNITUDE = "magnitude"
+    DECIBELS = "decibels"
+
+
+def _apply_amp(mapped, amp: AmpScale, floor_db: Optional[float], dtype):
+    """Power-domain → requested amplitude scale (parity with
+    ``AmplitudeScaling::apply_in_place``, spectrogram.rs:2068-2080)."""
+    if amp == AmpScale.POWER:
+        return mapped
+    if amp == AmpScale.MAGNITUDE:
+        return jnp.sqrt(mapped)
+    fd = -80.0 if floor_db is None else float(floor_db)
+    eps = np.float64(10.0) ** (fd / 10.0)
+    return 10.0 * jnp.log10(jnp.maximum(mapped, jnp.asarray(eps, dtype=dtype)))
+
+
+@dataclass
+class Spectrogram:
+    """Computed spectrogram: data (n_bins × n_frames) + axes + params.
+
+    Parity with ``Spectrogram<F, A, T>``
+    (``/root/reference/src/spectrogram.rs:2547-3160``). ``data`` is a JAX
+    array living on device; axes are host float64 numpy (axis metadata never
+    needs to ride the TPU).
+    """
+
+    data: jax.Array
+    frequencies: np.ndarray
+    times: np.ndarray
+    params: SpectrogramParams
+    freq_scale: FreqScale
+    amp_scale: AmpScale
+    floor_db: Optional[float] = None
+
+    @property
+    def n_bins(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def n_frames(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return tuple(self.data.shape)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def duration(self) -> float:
+        """Duration spanned by the time axis (last frame time), seconds."""
+        return float(self.times[-1]) if len(self.times) else 0.0
+
+    def db_range(self) -> Optional[Tuple[float, float]]:
+        """(min, max) of the data when in decibels, else None."""
+        if self.amp_scale != AmpScale.DECIBELS:
+            return None
+        return (float(jnp.min(self.data)), float(jnp.max(self.data)))
+
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self.data)
+
+    def __array__(self, dtype=None):
+        arr = np.asarray(self.data)
+        return arr.astype(dtype) if dtype is not None else arr
+
+    def block_until_ready(self) -> "Spectrogram":
+        self.data.block_until_ready()
+        return self
+
+    def __repr__(self) -> str:
+        return (
+            f"Spectrogram({self.freq_scale.value}/{self.amp_scale.value}, "
+            f"{self.n_bins} bins x {self.n_frames} frames, dtype={self.dtype})"
+        )
+
+
+@dataclass
+class StftResult:
+    """Complex STFT matrix + axes (parity with ``StftResult``,
+    spectrogram.rs and ``/root/reference/src/python/params.rs:319``)."""
+
+    data: jax.Array  # (n_bins, n_frames) complex
+    frequencies: np.ndarray
+    sample_rate: float
+    params: "object"
+
+    @property
+    def n_bins(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def n_frames(self) -> int:
+        return self.data.shape[1]
+
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self.data)
+
+    def __array__(self, dtype=None):
+        arr = np.asarray(self.data)
+        return arr.astype(dtype) if dtype is not None else arr
+
+
+def _resolve_method(method: str, n_fft: int, dtype) -> str:
+    if method not in ("auto", "matmul", "fft"):
+        raise InvalidInputError(f"unknown method {method!r}; expected auto/matmul/fft")
+    if method == "auto":
+        if np.dtype(dtype) == np.float64 or n_fft > MATMUL_MAX_N_FFT:
+            return "fft"
+        return "matmul"
+    return method
+
+
+class SpectrogramPlan:
+    """A compiled, reusable spectrogram pipeline for one configuration.
+
+    TPU analog of ``SpectrogramPlan<F, A, T>``
+    (``/root/reference/src/spectrogram.rs:172-520``): construction precomputes
+    all constants (window-folded DFT matrices, filterbank / CQT kernel
+    matrices, frequency axis) and builds a jitted forward program; ``compute``
+    runs it over a whole signal, ``compute_batch`` vmaps it over utterances,
+    ``compute_frame`` is the streaming single-frame path.
+    """
+
+    def __init__(
+        self,
+        params: SpectrogramParams,
+        freq_scale: FreqScale,
+        amp_scale: AmpScale,
+        scale_params=None,
+        log_params: Optional[LogParams] = None,
+        dtype=None,
+        method: str = "auto",
+        precision=jax.lax.Precision.HIGHEST,
+    ):
+        self.params = params
+        self.freq_scale = freq_scale
+        self.amp_scale = amp_scale
+        self.scale_params = scale_params
+        self.log_params = log_params
+        self._dtype = parse_dtype(dtype)
+        ensure_x64(self._dtype)
+        self.precision = precision
+
+        stft_p = params.stft
+        n_fft, hop = stft_p.n_fft, stft_p.hop_size
+        sr = params.sample_rate_hz
+        self.method = _resolve_method(method, n_fft, self._dtype)
+
+        window64 = make_window(stft_p.window, n_fft, np.float64)
+        self._window = jnp.asarray(window64.astype(self._dtype))
+
+        # ---- frequency mapping constants + axis ------------------------
+        mapping = None  # (n_out, n_bins) f64 or None for identity
+        if freq_scale == FreqScale.LINEAR:
+            freqs = np.arange(r2c_output_size(n_fft), dtype=np.float64) * (sr / n_fft)
+        elif freq_scale == FreqScale.MEL:
+            if not isinstance(scale_params, MelParams):
+                raise InvalidInputError("mel plan requires MelParams")
+            if scale_params.f_max > params.nyquist_hz():
+                raise InvalidInputError("f_max must be <= Nyquist")
+            mapping = fb.mel_filterbank(sr, n_fft, scale_params)
+            freqs = fb.mel_band_centres_hz(scale_params.n_mels, sr, params.nyquist_hz())
+        elif freq_scale == FreqScale.LOG_HZ:
+            if not isinstance(scale_params, LogHzParams):
+                raise InvalidInputError("log-hz plan requires LogHzParams")
+            mapping, freqs = fb.loghz_matrix(sr, n_fft, scale_params)
+        elif freq_scale == FreqScale.ERB:
+            if not isinstance(scale_params, ErbParams):
+                raise InvalidInputError("erb plan requires ErbParams")
+            if scale_params.f_max > params.nyquist_hz():
+                raise InvalidInputError("f_max must be <= Nyquist")
+            mapping, freqs = fb.erb_filterbank(sr, n_fft, scale_params)
+        elif freq_scale == FreqScale.CQT:
+            if not isinstance(scale_params, CqtParams):
+                raise InvalidInputError("cqt plan requires CqtParams")
+            f_top = scale_params.bin_frequency(scale_params.num_bins - 1)
+            if f_top >= sr / 2.0:
+                raise InvalidInputError(
+                    "CQT maximum frequency must be below Nyquist frequency"
+                )
+            k_re, k_im, freqs = cqt_kernel_matrices(scale_params, sr, n_fft)
+            self._cqt_re = jnp.asarray(k_re.T.astype(self._dtype))  # (n_fft, n_out)
+            self._cqt_im = jnp.asarray(k_im.T.astype(self._dtype))
+        else:  # pragma: no cover
+            raise InvalidInputError(f"unknown freq scale {freq_scale}")
+
+        self._mapping_t = (
+            None if mapping is None else jnp.asarray(mapping.T.astype(self._dtype))
+        )
+        self.frequencies = np.asarray(freqs, dtype=np.float64)
+        self.n_output_bins = (
+            len(self.frequencies)
+        )
+
+        if self.method == "matmul" and freq_scale != FreqScale.CQT:
+            c, s = rdft_matrices(n_fft, window64, self._dtype)
+            self._dft_c, self._dft_s = c, s
+
+        self._floor_db = None if log_params is None else log_params.floor_db
+        if amp_scale == AmpScale.DECIBELS and self._floor_db is None:
+            self._floor_db = -80.0
+
+        self._n_fft, self._hop, self._centre = n_fft, hop, stft_p.centre
+        self._forward = jax.jit(self._forward_impl)
+        self._forward_frames = jax.jit(self._frames_to_bins)
+        self._forward_batch = jax.jit(jax.vmap(self._forward_impl))
+
+    # ---- core math ------------------------------------------------------
+    def _frames_to_bins(self, frames):
+        """(n_frames, n_fft) raw frames → (n_frames, n_out) scaled features."""
+        dt = self._dtype
+        if self.freq_scale == FreqScale.CQT:
+            # Unwindowed frames: kernels carry their own window.
+            re = jnp.matmul(frames, self._cqt_re, precision=self.precision)
+            im = jnp.matmul(frames, self._cqt_im, precision=self.precision)
+            mapped = re * re + im * im
+        else:
+            if self.method == "matmul":
+                re = jnp.matmul(frames, self._dft_c, precision=self.precision)
+                im = jnp.matmul(frames, self._dft_s, precision=self.precision)
+                power = re * re + im * im
+            else:
+                spec = jnp.fft.rfft(frames * self._window[None, :], axis=-1)
+                power = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(dt)
+            if self._mapping_t is None:
+                mapped = power
+            else:
+                mapped = jnp.matmul(power, self._mapping_t, precision=self.precision)
+        return _apply_amp(mapped, self.amp_scale, self._floor_db, dt)
+
+    def _forward_impl(self, x):
+        frames = frame_signal(x, self._n_fft, self._hop, self._centre)
+        return self._frames_to_bins(frames).T  # (n_out, n_frames)
+
+    # ---- public API -------------------------------------------------------
+    @property
+    def dtype(self) -> str:
+        return np.dtype(self._dtype).name
+
+    def output_shape(self, n_samples: int) -> Tuple[int, int]:
+        """(n_bins, n_frames) for a signal of the given length."""
+        return (
+            self.n_output_bins,
+            frame_count(n_samples, self._n_fft, self._hop, self._centre),
+        )
+
+    def _times(self, n_frames: int) -> np.ndarray:
+        return np.arange(n_frames, dtype=np.float64) * self.params.frame_period_seconds()
+
+    def _validate_signal(self, samples):
+        x = jnp.asarray(samples)
+        if x.ndim != 1:
+            raise InvalidInputError(f"expected 1-D signal, got shape {x.shape}")
+        if x.shape[0] == 0:
+            raise InvalidInputError("signal must be non-empty")
+        return x.astype(self._dtype)
+
+    def compute(self, samples) -> Spectrogram:
+        """Full spectrogram of a 1-D signal."""
+        x = self._validate_signal(samples)
+        data = self._forward(x)
+        return Spectrogram(
+            data=data,
+            frequencies=self.frequencies,
+            times=self._times(data.shape[1]),
+            params=self.params,
+            freq_scale=self.freq_scale,
+            amp_scale=self.amp_scale,
+            floor_db=self._floor_db,
+        )
+
+    def compute_raw(self, samples) -> jax.Array:
+        """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        return self._forward(self._validate_signal(samples))
+
+    def compute_batch(self, batch) -> jax.Array:
+        """(B, n) signal batch → (B, n_bins, n_frames), one vmapped program."""
+        xb = jnp.asarray(batch)
+        if xb.ndim != 2:
+            raise InvalidInputError(f"expected (batch, samples), got {xb.shape}")
+        return self._forward_batch(xb.astype(self._dtype))
+
+    def compute_frame(self, samples, frame_idx: int) -> jax.Array:
+        """Streaming single-frame path (parity with ``compute_frame``,
+        spectrogram.rs:335): frame ``frame_idx`` against the current signal."""
+        x = self._validate_signal(samples)
+        n = x.shape[0]
+        nf = frame_count(n, self._n_fft, self._hop, self._centre)
+        if frame_idx < 0 or frame_idx >= nf:
+            raise InvalidInputError(
+                f"frame_idx {frame_idx} out of range (n_frames={nf})"
+            )
+        frame = _extract_frame(
+            x, jnp.asarray(frame_idx, dtype=jnp.int32), self._n_fft, self._hop, self._centre
+        )
+        return self._forward_frames(frame[None, :])[0]
+
+    def compute_into(self, samples, out: np.ndarray) -> np.ndarray:
+        """Compute into a preallocated numpy array (parity with
+        ``compute_into``, spectrogram.rs:414). On TPU this is a device→host
+        copy into ``out``; prefer :meth:`compute` for on-device pipelines."""
+        x = self._validate_signal(samples)
+        expected = self.output_shape(x.shape[0])
+        if tuple(out.shape) != expected:
+            from .errors import DimensionMismatchError
+
+            raise DimensionMismatchError(expected, tuple(out.shape))
+        np.copyto(out, np.asarray(self._forward(x)))
+        return out
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "centre"))
+def _extract_frame(x, frame_idx, n_fft, hop, centre):
+    pad = n_fft // 2 if centre else 0
+    xp = jnp.pad(x, (pad, pad + n_fft))
+    return jax.lax.dynamic_slice(xp, (frame_idx * hop,), (n_fft,))
+
+
+class StftPlan:
+    """Reusable complex STFT plan (parity with ``StftPlan``,
+    spectrogram.rs:1173-1636)."""
+
+    def __init__(self, params: SpectrogramParams, dtype=None):
+        self.params = params
+        self._dtype = parse_dtype(dtype)
+        ensure_x64(self._dtype)
+        stft_p = params.stft
+        self._n_fft, self._hop, self._centre = stft_p.n_fft, stft_p.hop_size, stft_p.centre
+        self._window = jnp.asarray(make_window(stft_p.window, self._n_fft, self._dtype))
+
+    @property
+    def dtype(self) -> str:
+        return np.dtype(self._dtype).name
+
+    def frame_count(self, n_samples: int) -> int:
+        return frame_count(n_samples, self._n_fft, self._hop, self._centre)
+
+    def compute(self, samples) -> StftResult:
+        spec = stft_ops.stft(
+            samples,
+            self._n_fft,
+            self._hop,
+            self.params.stft.window,
+            self._centre,
+            dtype=self._dtype,
+        )
+        freqs = np.arange(spec.shape[0], dtype=np.float64) * (
+            self.params.sample_rate_hz / self._n_fft
+        )
+        return StftResult(
+            data=spec,
+            frequencies=freqs,
+            sample_rate=self.params.sample_rate_hz,
+            params=self.params.stft,
+        )
+
+    def compute_frame(self, samples, frame_idx: int) -> jax.Array:
+        """Single complex frame spectrum (streaming path)."""
+        x = jnp.asarray(samples).astype(self._dtype)
+        nf = self.frame_count(x.shape[0])
+        if frame_idx < 0 or frame_idx >= nf:
+            raise InvalidInputError(f"frame_idx {frame_idx} out of range (n_frames={nf})")
+        frame = _extract_frame(
+            x, jnp.asarray(frame_idx, dtype=jnp.int32), self._n_fft, self._hop, self._centre
+        )
+        return jnp.fft.rfft(frame * self._window, n=self._n_fft).astype(
+            complex_dtype(self._dtype)
+        )
+
+
+class SpectrogramPlanner:
+    """Plan factory (parity with ``SpectrogramPlanner``,
+    spectrogram.rs:640-1153, and the 15 PyO3 plan builders,
+    ``/root/reference/src/python/planner.rs:107-668``)."""
+
+    def __init__(self, dtype=None, method: str = "auto"):
+        self._default_dtype = dtype
+        self._default_method = method
+
+    # ---- generic builders -------------------------------------------------
+    def linear_plan(self, params, amp=AmpScale.POWER, db=None, dtype=None, method=None):
+        return self._plan(params, FreqScale.LINEAR, amp, None, db, dtype, method)
+
+    def mel_plan(self, params, mel: MelParams, amp=AmpScale.POWER, db=None, dtype=None, method=None):
+        return self._plan(params, FreqScale.MEL, amp, mel, db, dtype, method)
+
+    def log_hz_plan(self, params, loghz: LogHzParams, amp=AmpScale.POWER, db=None, dtype=None, method=None):
+        return self._plan(params, FreqScale.LOG_HZ, amp, loghz, db, dtype, method)
+
+    def erb_plan(self, params, erb: ErbParams, amp=AmpScale.POWER, db=None, dtype=None, method=None):
+        return self._plan(params, FreqScale.ERB, amp, erb, db, dtype, method)
+
+    def cqt_plan(self, params, cqt: CqtParams, amp=AmpScale.POWER, db=None, dtype=None, method=None):
+        return self._plan(params, FreqScale.CQT, amp, cqt, db, dtype, method)
+
+    def _plan(self, params, scale, amp, scale_params, db, dtype, method):
+        return SpectrogramPlan(
+            params,
+            scale,
+            amp,
+            scale_params=scale_params,
+            log_params=db,
+            dtype=dtype if dtype is not None else self._default_dtype,
+            method=method if method is not None else self._default_method,
+        )
+
+    # ---- STFT plan ----------------------------------------------------------
+    def stft_plan(self, params, dtype=None) -> StftPlan:
+        return StftPlan(params, dtype=dtype if dtype is not None else self._default_dtype)
+
+    # ---- one-shots (parity with planner compute_* methods) -----------------
+    def compute_stft(self, samples, params: SpectrogramParams, dtype=None) -> StftResult:
+        return self.stft_plan(params, dtype).compute(samples)
+
+    def compute_power_spectrum(self, samples, n_fft, window=None, dtype=None):
+        return stft_ops.power_spectrum(samples, n_fft, window, dtype or self._default_dtype)
+
+    def compute_magnitude_spectrum(self, samples, n_fft, window=None, dtype=None):
+        return stft_ops.magnitude_spectrum(samples, n_fft, window, dtype or self._default_dtype)
+
+
+# Generate the 15 named {scale}_{amp}_plan builders on SpectrogramPlanner —
+# the PyO3 layer exposes exactly this matrix (planner.rs:107-668).
+def _install_named_builders():
+    amp_map = {
+        "power": AmpScale.POWER,
+        "magnitude": AmpScale.MAGNITUDE,
+        "db": AmpScale.DECIBELS,
+    }
+    scale_info = {
+        "linear": (FreqScale.LINEAR, False),
+        "mel": (FreqScale.MEL, True),
+        "erb": (FreqScale.ERB, True),
+        "loghz": (FreqScale.LOG_HZ, True),
+        "cqt": (FreqScale.CQT, True),
+    }
+    for scale_name, (scale, needs_params) in scale_info.items():
+        for amp_name, amp in amp_map.items():
+            if needs_params:
+                def builder(self, params, scale_params, db=None, dtype=None, method=None,
+                            _scale=scale, _amp=amp, _amp_name=amp_name):
+                    dbp = db if _amp == AmpScale.DECIBELS else None
+                    return self._plan(params, _scale, _amp, scale_params, dbp, dtype, method)
+            else:
+                def builder(self, params, db=None, dtype=None, method=None,
+                            _scale=scale, _amp=amp, _amp_name=amp_name):
+                    dbp = db if _amp == AmpScale.DECIBELS else None
+                    return self._plan(params, _scale, _amp, None, dbp, dtype, method)
+            name = f"{scale_name}_{amp_name}_plan"
+            builder.__name__ = name
+            builder.__doc__ = f"Build a {scale_name} {amp_name} spectrogram plan."
+            setattr(SpectrogramPlanner, name, builder)
+
+
+_install_named_builders()
