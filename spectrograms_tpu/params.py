@@ -465,6 +465,7 @@ class ChromaParams:
     f_min: float = 32.7  # C1
     f_max: float = 4186.0  # C8
     norm: ChromaNorm = ChromaNorm.L2
+    n_octaves: Optional[int] = None  # derived ceil(log2(f_max/f_min)) if None
 
     def __post_init__(self):
         object.__setattr__(self, "tuning", float(self.tuning))
@@ -476,14 +477,14 @@ class ChromaParams:
             raise InvalidInputError("f_min must be finite and > 0")
         if self.f_max <= self.f_min:
             raise InvalidInputError("f_max must be > f_min")
-
-    @property
-    def n_octaves(self) -> int:
-        return max(1, math.ceil(math.log2(self.f_max / self.f_min)))
+        if self.n_octaves is None:
+            derived = max(1, math.ceil(math.log2(self.f_max / self.f_min)))
+            object.__setattr__(self, "n_octaves", derived)
 
     @staticmethod
     def music_standard() -> "ChromaParams":
-        return ChromaParams(440.0, 32.7, 4186.0, ChromaNorm.L2)
+        # Hardcodes 7 octaves (C1..C8) like the reference const constructor.
+        return ChromaParams(440.0, 32.7, 4186.0, ChromaNorm.L2, n_octaves=7)
 
     def with_norm(self, norm: ChromaNorm) -> "ChromaParams":
         return replace(self, norm=norm)

@@ -1,0 +1,139 @@
+"""STFT / iSTFT / one-shot FFT tests against analytic + NumPy references.
+
+Model: reference tests/stft_plan_tests.rs, fft_padding_tests.rs, and the
+istft round-trip semantics (spectrogram.rs:4860-4946).
+"""
+
+import numpy as np
+import pytest
+
+import spectrograms_tpu as sg
+from conftest import sine, noise
+
+
+def numpy_stft(x, n_fft, hop, window, centre):
+    w = sg.make_window(window, n_fft)
+    pad = n_fft // 2 if centre else 0
+    xp = np.pad(x, (pad, pad))
+    if len(xp) < n_fft:
+        xp = np.pad(xp, (0, n_fft - len(xp)))
+        n_frames = 1
+    else:
+        n_frames = (len(xp) - n_fft) // hop + 1
+    frames = np.stack([xp[i * hop : i * hop + n_fft] for i in range(n_frames)])
+    return np.fft.rfft(frames * w, axis=-1).T
+
+
+@pytest.mark.parametrize("n_fft,hop", [(256, 128), (512, 256), (512, 128), (400, 160)])
+def test_stft_matches_numpy(n_fft, hop):
+    x = sine(440.0, duration=0.25)
+    ours = np.asarray(sg.stft(x, n_fft, hop))
+    ref = numpy_stft(x, n_fft, hop, sg.WindowType.HANNING, True)
+    assert ours.shape == ref.shape
+    assert np.allclose(ours, ref, atol=1e-10)
+
+
+def test_stft_no_centre():
+    x = noise(4000)
+    ours = np.asarray(sg.stft(x, 256, 128, centre=False))
+    ref = numpy_stft(x, 256, 128, sg.WindowType.HANNING, False)
+    assert np.allclose(ours, ref, atol=1e-10)
+
+
+def test_frame_count_formula():
+    from spectrograms_tpu.ops.framing import frame_count
+
+    # centre: padded = n + n_fft; frames = (n + n_fft - n_fft)//hop + 1
+    assert frame_count(16000, 512, 256, True) == 16000 // 256 + 1
+    assert frame_count(16000, 512, 256, False) == (16000 - 512) // 256 + 1
+    # shorter than n_fft → 1 frame
+    assert frame_count(10, 512, 256, False) == 1
+    assert frame_count(1, 512, 256, True) == 1
+
+
+def test_stft_hop_gt_nfft_rejected():
+    with pytest.raises(sg.InvalidInputError):
+        sg.stft(np.ones(100), 64, 128)
+
+
+def test_istft_roundtrip_hann():
+    x = sine(440.0, duration=0.5)
+    S = sg.stft(x, 512, 128)
+    y = np.asarray(sg.istft(S, 512, 128))
+    n = min(len(y), len(x))
+    assert np.allclose(y[:n], x[:n], atol=1e-10)
+
+
+def test_istft_roundtrip_hamming_no_centre():
+    x = noise(4096)
+    S = sg.stft(x, 256, 64, window=sg.WindowType.HAMMING, centre=False)
+    y = np.asarray(sg.istft(S, 256, 64, window=sg.WindowType.HAMMING, centre=False))
+    # interior reconstruction (edges lack full overlap without centre padding)
+    assert np.allclose(y[256:-256], x[256 : len(y) - 256], atol=1e-8)
+
+
+def test_istft_dimension_check():
+    with pytest.raises(sg.DimensionMismatchError):
+        sg.istft(np.zeros((100, 5), dtype=np.complex128), 512, 256)
+
+
+def test_fft_one_shot_pads_and_rejects():
+    x = np.array([1.0, 2.0, 3.0])
+    spec = np.asarray(sg.fft(x, 8))
+    assert spec.shape == (5,)
+    assert np.allclose(spec, np.fft.rfft(np.pad(x, (0, 5))), atol=1e-12)
+    with pytest.raises(sg.InvalidInputError):
+        sg.fft(np.ones(16), 8)
+
+
+def test_rfft_is_magnitude():
+    x = noise(512)
+    assert np.allclose(np.asarray(sg.rfft(x, 512)), np.abs(np.fft.rfft(x)), atol=1e-10)
+
+
+def test_irfft_roundtrip_and_normalization():
+    x = noise(512)
+    spec = sg.fft(x, 512)
+    y = np.asarray(sg.irfft(spec, 512))
+    assert np.allclose(y, x, atol=1e-10)
+    with pytest.raises(sg.DimensionMismatchError):
+        sg.irfft(np.zeros(100, dtype=np.complex128), 512)
+
+
+def test_power_and_magnitude_spectrum():
+    x = sine(1000.0, sr=8000, duration=0.064)  # 512 samples
+    p = np.asarray(sg.power_spectrum(x, 512, sg.WindowType.HANNING))
+    m = np.asarray(sg.magnitude_spectrum(x, 512, sg.WindowType.HANNING))
+    assert p.shape == (257,)
+    assert np.allclose(m, np.sqrt(p), atol=1e-10)
+    # peak at bin 64 (1000 Hz, df = 8000/512 = 15.625)
+    assert np.argmax(p) == 64
+    # unwindowed matches |fft|^2
+    p2 = np.asarray(sg.power_spectrum(x, 512, None))
+    assert np.allclose(p2, np.abs(np.fft.rfft(x)) ** 2, atol=1e-8)
+
+
+def test_sine_peak_bin():
+    # 440 Hz @16 kHz, n_fft=256 → bin 440/(16000/256) = 7.04
+    x = sine(440.0)
+    spec = sg.compute_linear_power_spectrogram(
+        x, sg.SpectrogramParams(sg.StftParams(256, 128), 16000.0), dtype="float64"
+    )
+    data = np.asarray(spec.data)
+    assert np.argmax(data.mean(axis=1)) == 7
+    assert spec.frequencies[7] == pytest.approx(7 * 16000 / 256)
+
+
+def test_stft_plan_class():
+    params = sg.SpectrogramParams(sg.StftParams(512, 256), 16000.0)
+    plan = sg.StftPlan(params, dtype="float64")
+    x = sine(440.0, duration=0.25)
+    res = plan.compute(x)
+    assert res.n_bins == 257
+    assert res.n_frames == plan.frame_count(len(x))
+    assert res.frequencies[1] == pytest.approx(16000 / 512)
+    # streaming frame equivalence
+    f3 = np.asarray(plan.compute_frame(x, 3))
+    assert np.allclose(f3, np.asarray(res.data)[:, 3], atol=1e-10)
+    with pytest.raises(sg.InvalidInputError):
+        plan.compute_frame(x, 10_000)

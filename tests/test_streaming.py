@@ -1,0 +1,67 @@
+"""Streaming tests: compute_frame equivalence with full compute.
+
+Model: reference tests/streaming_tests.rs (frame-by-frame vs batch equality).
+"""
+
+import numpy as np
+import pytest
+
+import spectrograms_tpu as sg
+from conftest import sine
+
+SR = 16000.0
+PARAMS = sg.SpectrogramParams(sg.StftParams(256, 128), SR)
+
+
+@pytest.mark.parametrize(
+    "plan_builder,scale_params",
+    [
+        ("linear_power_plan", None),
+        ("mel_db_plan", sg.MelParams(32, 0.0, 8000.0)),
+        ("cqt_power_plan", sg.CqtParams(12, 5, 55.0)),
+    ],
+)
+def test_compute_frame_matches_full(plan_builder, scale_params):
+    planner = sg.SpectrogramPlanner()
+    builder = getattr(planner, plan_builder)
+    plan = builder(PARAMS, scale_params, dtype="float64") if scale_params is not None \
+        else builder(PARAMS, dtype="float64")
+    x = sine(440.0, duration=0.2)
+    full = np.asarray(plan.compute(x).data)
+    for idx in [0, 1, full.shape[1] // 2, full.shape[1] - 1]:
+        frame = np.asarray(plan.compute_frame(x, idx))
+        assert np.allclose(frame, full[:, idx], atol=1e-10), f"frame {idx}"
+
+
+def test_streaming_growing_buffer():
+    """Recompute frames against a growing buffer (python/examples/streaming.py)."""
+    plan = sg.SpectrogramPlanner().linear_power_plan(PARAMS, dtype="float64")
+    x = sine(440.0, duration=0.2)
+    # Stream in hops: frame i only needs samples up to (i+1)*hop + n_fft
+    full = np.asarray(plan.compute(x).data)
+    n_fft, hop = 256, 128
+    for i in [0, 3, 7]:
+        needed = i * hop + n_fft  # centre padding covers the look-back
+        frame = np.asarray(plan.compute_frame(x[: max(needed, 1)], i))
+        assert np.allclose(frame, full[:, i], atol=1e-10)
+
+
+def test_compute_frame_out_of_range():
+    plan = sg.SpectrogramPlanner().linear_power_plan(PARAMS, dtype="float64")
+    x = sine(440.0, duration=0.1)
+    nf = plan.output_shape(len(x))[1]
+    with pytest.raises(sg.InvalidInputError):
+        plan.compute_frame(x, nf)
+    with pytest.raises(sg.InvalidInputError):
+        plan.compute_frame(x, -1)
+
+
+def test_compute_into():
+    plan = sg.SpectrogramPlanner().mel_power_plan(PARAMS, sg.MelParams(32, 0.0, 8000.0),
+                                                  dtype="float32")
+    x = sine(440.0, duration=0.1)
+    out = np.zeros(plan.output_shape(len(x)), dtype=np.float32)
+    plan.compute_into(x, out)
+    assert np.allclose(out, np.asarray(plan.compute(x).data))
+    with pytest.raises(sg.DimensionMismatchError):
+        plan.compute_into(x, np.zeros((1, 1), dtype=np.float32))
