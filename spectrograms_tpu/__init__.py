@@ -72,6 +72,47 @@ from .ops.filterbanks import (
 )
 from .functions import *  # noqa: F401,F403 — compute_* one-shots
 from .functions import __all__ as _functions_all
+from .mfcc import Mfcc, mfcc, mfcc_from_log_mel, compute_mfcc, MfccPlan, delta
+from .chroma import (
+    Chromagram,
+    chromagram,
+    chromagram_from_spectrogram,
+    compute_chromagram,
+    ChromaPlan,
+)
+from .cqt import CqtResult, cqt
+from .erb import (
+    ErbFilterbank,
+    gammatone_center_frequencies,
+    gammatone_iir_spectrogram,
+)
+from .mdct import MdctParams, mdct, imdct, compute_mdct, compute_imdct
+from .convolution import fft_convolve, fft_deconvolve, OverlapSaveConvolver
+from .min_phase import minimum_phase, minimum_phase_with
+from .fft2d import (
+    fft2d,  # rebinds the module attr to the function — parity with the PyO3 fn
+    fft2d as compute_fft2d,
+    ifft2d,
+    power_spectrum_2d,
+    magnitude_spectrum_2d,
+    fftshift,
+    ifftshift,
+    fftshift_1d,
+    ifftshift_1d,
+    fftfreq,
+    rfftfreq,
+    Fft2dPlanner,
+)
+from . import image_ops
+from .image_ops import (
+    convolve_fft,
+    gaussian_kernel_2d,
+    lowpass_filter,
+    highpass_filter,
+    bandpass_filter,
+    detect_edges_fft,
+    sharpen_fft,
+)
 
 __version__ = "0.1.0"
 
@@ -137,4 +178,54 @@ __all__ = [
     "erb_to_hz",
     "mel_filterbank",
     "chroma_filterbank",
+    # features
+    "Mfcc",
+    "mfcc",
+    "mfcc_from_log_mel",
+    "compute_mfcc",
+    "MfccPlan",
+    "delta",
+    "Chromagram",
+    "chromagram",
+    "chromagram_from_spectrogram",
+    "compute_chromagram",
+    "ChromaPlan",
+    "CqtResult",
+    "cqt",
+    "ErbFilterbank",
+    "gammatone_center_frequencies",
+    "gammatone_iir_spectrogram",
+    # codec transforms
+    "MdctParams",
+    "mdct",
+    "imdct",
+    "compute_mdct",
+    "compute_imdct",
+    # convolution / filters
+    "fft_convolve",
+    "fft_deconvolve",
+    "OverlapSaveConvolver",
+    "minimum_phase",
+    "minimum_phase_with",
+    # 2-D FFT + images
+    "fft2d",
+    "compute_fft2d",
+    "ifft2d",
+    "power_spectrum_2d",
+    "magnitude_spectrum_2d",
+    "fftshift",
+    "ifftshift",
+    "fftshift_1d",
+    "ifftshift_1d",
+    "fftfreq",
+    "rfftfreq",
+    "Fft2dPlanner",
+    "image_ops",
+    "convolve_fft",
+    "gaussian_kernel_2d",
+    "lowpass_filter",
+    "highpass_filter",
+    "bandpass_filter",
+    "detect_edges_fft",
+    "sharpen_fft",
 ] + list(_functions_all)

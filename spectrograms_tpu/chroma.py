@@ -1,0 +1,174 @@
+"""Chromagram: 12 pitch-class energy profiles.
+
+Math parity with ``/root/reference/src/chroma.rs``:
+
+- Gaussian pitch-class filterbank (σ = 1 semitone on the circular pitch
+  distance, MIDI mapping vs tuning, row-sum normalized) — built in
+  ``spectrograms_tpu.ops.filterbanks.chroma_filterbank`` (``:279-346``)
+- applied to the **magnitude** spectrogram (``chromagram``, ``:487-504``)
+- per-frame None/L1/L2/Max normalization (``:406-446``)
+
+TPU design: filterbank application is one (n_frames × n_bins) @ (n_bins × 12)
+matmul fused with the magnitude STFT; per-frame normalization is a reduction
++ broadcast divide that XLA fuses into the same program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dtypes import parse_dtype
+from .errors import DimensionMismatchError, InvalidInputError
+from .params import ChromaNorm, ChromaParams, SpectrogramParams, StftParams, r2c_output_size
+from .pipeline import AmpScale, FreqScale, SpectrogramPlan
+from .ops.filterbanks import chroma_filterbank
+from .ops.framing import frame_signal
+
+__all__ = [
+    "Chromagram",
+    "chromagram",
+    "chromagram_from_spectrogram",
+    "compute_chromagram",
+    "ChromaPlan",
+    "apply_chroma_normalization",
+]
+
+
+@dataclass
+class Chromagram:
+    """Chromagram result: (12, n_frames) + params."""
+
+    data: jax.Array
+    params: ChromaParams
+
+    @property
+    def n_bins(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def n_frames(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def shape(self):
+        return tuple(self.data.shape)
+
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self.data)
+
+    def __array__(self, dtype=None):
+        arr = np.asarray(self.data)
+        return arr.astype(dtype) if dtype is not None else arr
+
+
+def apply_chroma_normalization(chroma_t, norm: ChromaNorm):
+    """Per-frame normalization on (…, n_frames?, 12)-last-axis layout.
+
+    Input layout here is (n_frames, 12) (time-major, matmul-friendly);
+    normalization reduces over the 12 pitch classes. Zero frames are left
+    unchanged (guarded divides), parity with chroma.rs:406-446.
+    """
+    if norm == ChromaNorm.NONE:
+        return chroma_t
+    if norm == ChromaNorm.L1:
+        denom = jnp.sum(chroma_t, axis=-1, keepdims=True)
+    elif norm == ChromaNorm.L2:
+        denom = jnp.sqrt(jnp.sum(chroma_t * chroma_t, axis=-1, keepdims=True))
+    elif norm == ChromaNorm.MAX:
+        denom = jnp.max(chroma_t, axis=-1, keepdims=True)
+    else:  # pragma: no cover
+        raise InvalidInputError(f"unknown ChromaNorm {norm}")
+    return jnp.where(denom > 0, chroma_t / jnp.where(denom == 0, 1.0, denom), chroma_t)
+
+
+def chromagram_from_spectrogram(
+    spectrogram,
+    sample_rate: float,
+    n_fft: int,
+    params: ChromaParams = ChromaParams.music_standard(),
+) -> Chromagram:
+    """Chromagram from a (n_bins, n_frames) magnitude/power spectrogram."""
+    spec = jnp.asarray(getattr(spectrogram, "data", spectrogram))
+    if spec.ndim != 2:
+        raise InvalidInputError(f"spectrogram must be 2-D, got {spec.shape}")
+    expected = r2c_output_size(n_fft)
+    if spec.shape[0] != expected:
+        raise DimensionMismatchError(expected, spec.shape[0])
+    fb = jnp.asarray(chroma_filterbank(sample_rate, n_fft, params).T.astype(spec.dtype))
+    chroma_t = jnp.matmul(spec.T, fb, precision=jax.lax.Precision.HIGHEST)
+    chroma_t = apply_chroma_normalization(chroma_t, params.norm)
+    return Chromagram(data=chroma_t.T, params=params)
+
+
+class ChromaPlan:
+    """Fused signal→magnitude-STFT→chroma pipeline in one jitted program."""
+
+    def __init__(
+        self,
+        stft_params: StftParams,
+        sample_rate_hz: float,
+        chroma_params: ChromaParams = ChromaParams.music_standard(),
+        dtype=None,
+        method: str = "auto",
+    ):
+        self.params = chroma_params
+        self._dtype = parse_dtype(dtype)
+        sp = SpectrogramParams(stft_params, sample_rate_hz)
+        self._mag_plan = SpectrogramPlan(
+            sp, FreqScale.LINEAR, AmpScale.MAGNITUDE, dtype=self._dtype, method=method
+        )
+        self._fb_t = jnp.asarray(
+            chroma_filterbank(sample_rate_hz, stft_params.n_fft, chroma_params)
+            .T.astype(self._dtype)
+        )
+        self._stft_params = stft_params
+
+        def forward(x):
+            frames = frame_signal(
+                x, stft_params.n_fft, stft_params.hop_size, stft_params.centre
+            )
+            mag_t = self._mag_plan._frames_to_bins(frames)  # (n_frames, n_bins)
+            chroma_t = jnp.matmul(mag_t, self._fb_t, precision=jax.lax.Precision.HIGHEST)
+            return apply_chroma_normalization(chroma_t, chroma_params.norm).T
+
+        self._forward = jax.jit(forward)
+        self._forward_batch = jax.jit(jax.vmap(forward))
+
+    def compute(self, samples) -> Chromagram:
+        x = jnp.asarray(samples).astype(self._dtype)
+        if x.ndim != 1 or x.shape[0] == 0:
+            raise InvalidInputError("expected a non-empty 1-D signal")
+        return Chromagram(data=self._forward(x), params=self.params)
+
+    def compute_batch(self, batch) -> jax.Array:
+        xb = jnp.asarray(batch).astype(self._dtype)
+        if xb.ndim != 2:
+            raise InvalidInputError(f"expected (batch, samples), got {xb.shape}")
+        return self._forward_batch(xb)
+
+
+def chromagram(
+    samples,
+    stft_params: StftParams,
+    sample_rate: float,
+    chroma_params: ChromaParams = ChromaParams.music_standard(),
+    dtype=None,
+) -> Chromagram:
+    """Chromagram straight from audio via the magnitude spectrogram
+    (parity with ``chromagram``, chroma.rs:487-504)."""
+    return ChromaPlan(stft_params, sample_rate, chroma_params, dtype=dtype).compute(samples)
+
+
+def compute_chromagram(
+    samples,
+    stft_params: StftParams,
+    sample_rate: float,
+    chroma_params: ChromaParams = ChromaParams.music_standard(),
+    dtype=None,
+) -> Chromagram:
+    """One-shot chromagram (parity with the PyO3 ``compute_chromagram``)."""
+    return chromagram(samples, stft_params, sample_rate, chroma_params, dtype)

@@ -1,0 +1,99 @@
+"""Standalone constant-Q transform (complex CQT matrix).
+
+Parity with ``cqt`` / ``CqtResult`` (``/root/reference/src/cqt.rs:640-709``):
+kernels generated at ``min(len(signal), 16384)`` length, frames by ``hop``,
+conjugate correlation of each kernel against the frame tail (last frame may be
+shorter — zero-extended). The integrated spectrogram path
+(``FreqScale.CQT`` plans) lives in ``spectrograms_tpu.pipeline``.
+
+TPU formulation: all frames at once through the packed real kernel matrix
+pair → two MXU matmuls → complex assembly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dtypes import complex_dtype, parse_dtype
+from .errors import InvalidInputError
+from .params import CqtParams
+from .ops.cqt import cqt_kernel_matrices
+
+__all__ = ["CqtResult", "cqt"]
+
+_MAX_KERNEL_FRAME = 16384
+
+
+@dataclass
+class CqtResult:
+    """Complex CQT coefficients (n_bins, n_frames) + axes."""
+
+    data: jax.Array
+    frequencies: np.ndarray
+    sample_rate: float
+    hop_size: int
+
+    @property
+    def n_bins(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def n_frames(self) -> int:
+        return self.data.shape[1]
+
+    def to_magnitude(self) -> jax.Array:
+        return jnp.abs(self.data)
+
+    def to_power(self) -> jax.Array:
+        return jnp.real(self.data) ** 2 + jnp.imag(self.data) ** 2
+
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self.data)
+
+
+@partial(jax.jit, static_argnames=("frame_len", "hop", "n_frames"))
+def _cqt_impl(x, k_re_t, k_im_t, frame_len, hop, n_frames):
+    n = x.shape[0]
+    # Frames are never partial: frame_len = min(len, 16384) and the frame-count
+    # formula keeps every start + frame_len <= len. The pad is a no-op guard.
+    pad = max(0, (n_frames - 1) * hop + frame_len - n)
+    xp = jnp.pad(x, (0, pad))
+    starts = np.arange(n_frames, dtype=np.int32) * hop
+    idx = jnp.asarray(starts[:, None] + np.arange(frame_len, dtype=np.int32)[None, :])
+    frames = jnp.take(xp, idx, axis=0)
+    re = jnp.matmul(frames, k_re_t, precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(frames, k_im_t, precision=jax.lax.Precision.HIGHEST)
+    return re.T, im.T
+
+
+def cqt(samples, sample_rate: float, params: CqtParams, hop_size: int, dtype=None) -> CqtResult:
+    """Complex CQT of a signal. → CqtResult with (n_bins, n_frames) data."""
+    dt = parse_dtype(dtype if dtype is not None else getattr(samples, "dtype", None))
+    x = jnp.asarray(samples).astype(dt).ravel()
+    if x.shape[0] == 0:
+        raise InvalidInputError("signal must be non-empty")
+    if hop_size <= 0:
+        raise InvalidInputError("hop_size must be > 0")
+
+    frame_len = min(x.shape[0], _MAX_KERNEL_FRAME)
+    k_re, k_im, freqs = cqt_kernel_matrices(params, sample_rate, frame_len)
+
+    n = x.shape[0]
+    n_frames = 1 if n < frame_len else (n - frame_len) // int(hop_size) + 1
+
+    re, im = _cqt_impl(
+        x,
+        jnp.asarray(k_re.T.astype(dt)),
+        jnp.asarray(k_im.T.astype(dt)),
+        int(frame_len),
+        int(hop_size),
+        int(n_frames),
+    )
+    data = (re + 1j * im).astype(complex_dtype(dt))
+    return CqtResult(data=data, frequencies=freqs, sample_rate=float(sample_rate),
+                     hop_size=int(hop_size))

@@ -1,0 +1,132 @@
+"""CQT + ERB/gammatone tests (model: reference tests/cqt_tests.rs,
+cqt_window_fix_test.rs double-windowing regression)."""
+
+import numpy as np
+import pytest
+
+import spectrograms_tpu as sg
+from conftest import sine
+
+SR = 16000.0
+
+
+def test_cqt_standalone_peak():
+    x = sine(440.0)
+    res = sg.cqt(x, SR, sg.CqtParams(12, 7, 32.7), 512, dtype="float64")
+    assert res.n_bins == 84
+    mag = np.asarray(res.to_magnitude())
+    peak_freq = res.frequencies[int(np.argmax(mag.mean(axis=1)))]
+    # 440 Hz bin: 32.7·2^(k/12) ≈ 440 at k=45
+    assert abs(peak_freq - 440.0) / 440.0 < 0.03
+    assert np.allclose(np.asarray(res.to_power()), mag**2, atol=1e-9)
+
+
+def test_cqt_integrated_peak_and_no_double_windowing():
+    """The CQT mapping must consume UNWINDOWED frames (spectrogram.rs:1664).
+
+    If the STFT window were applied before the CQT kernels (which carry their
+    own window), the effective window would be squared and peak energy would
+    drop measurably. We check absolute energy against the analytically
+    expected unit-energy-kernel response.
+    """
+    x = sine(440.0)
+    params = sg.SpectrogramParams(sg.StftParams(4096, 1024), SR)
+    cqt_p = sg.CqtParams(12, 7, 32.7)
+    spec = sg.compute_cqt_power_spectrogram(x, params, cqt_p, dtype="float64")
+    data = np.asarray(spec.data)
+    k_peak = int(np.argmax(data.mean(axis=1)))
+    assert abs(spec.frequencies[k_peak] - 440.0) / 440.0 < 0.03
+
+    # Compare a mid frame against a direct kernel correlation on the raw
+    # (unwindowed) frame — this fails if double-windowing sneaks in.
+    from spectrograms_tpu.ops.cqt import cqt_kernel_matrices
+    k_re, k_im, _ = cqt_kernel_matrices(cqt_p, SR, 4096)
+    frame_idx = data.shape[1] // 2
+    start = frame_idx * 1024 - 2048  # centre padding n_fft/2
+    frame = x[start : start + 4096]
+    direct = (k_re @ frame) ** 2 + (k_im @ frame) ** 2
+    assert np.allclose(direct, data[:, frame_idx], rtol=1e-6, atol=1e-9)
+
+
+def test_cqt_kernel_unit_energy():
+    from spectrograms_tpu.ops.cqt import cqt_kernel_matrices
+    k_re, k_im, freqs = cqt_kernel_matrices(sg.CqtParams(12, 5, 110.0), SR, 2048)
+    energy = (k_re**2 + k_im**2).sum(axis=1)
+    assert np.allclose(energy, 1.0, atol=1e-9)
+    assert freqs[0] == pytest.approx(110.0)
+
+
+def test_erb_freq_domain_response():
+    """ERB |H|² responses: peak 1 at centre frequency, 4th-order rolloff."""
+    from spectrograms_tpu.ops.filterbanks import erb_filterbank
+    resp, cfs = erb_filterbank(SR, 1024, sg.ErbParams(16, 100.0, 7000.0))
+    assert resp.shape == (16, 513)
+    df = SR / 1024
+    for i, cf in enumerate(cfs):
+        peak_bin = int(np.argmax(resp[i]))
+        assert abs(peak_bin * df - cf) <= df  # peak within one bin of cf
+        assert resp[i].max() <= 1.0 + 1e-9
+
+
+def test_erb_apple_tr35_spacing():
+    lin = sg.gammatone_center_frequencies(sg.ErbParams(16, 50.0, 8000.0))
+    app = sg.gammatone_center_frequencies(
+        sg.ErbParams(16, 50.0, 8000.0, spacing=sg.ErbSpacing.APPLE_TR35)
+    )
+    assert np.all(np.diff(lin) > 0) and np.all(np.diff(app) > 0)  # low→high
+    assert not np.allclose(lin, app)
+
+
+def test_gammatone_iir_peak_band():
+    x = sine(440.0, duration=0.5)
+    g, cfs = sg.gammatone_iir_spectrogram(x, SR, 1024, 256, sg.ErbParams(32, 50.0, 8000.0))
+    assert g.shape[0] == 32
+    peak_cf = cfs[int(np.argmax(np.asarray(g).mean(axis=1)))]
+    # nearest band to 440 Hz wins
+    nearest = cfs[np.argmin(np.abs(cfs - 440.0))]
+    assert peak_cf == pytest.approx(nearest)
+
+
+def test_gammatone_iir_matches_scalar_reference():
+    """Vectorized scan vs a direct per-sample Python biquad cascade."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(600)
+    params = sg.ErbParams(4, 100.0, 4000.0)
+    g, cfs = sg.gammatone_iir_spectrogram(x, SR, 256, 128, params)
+    g = np.asarray(g)
+
+    from spectrograms_tpu.erb import make_iir_bank
+    a, b = make_iir_bank(cfs, SR)
+    n1 = 255
+    w = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(256) / n1)
+
+    def biquad(a0, a1, b1, b2, sig):
+        z0 = z1 = 0.0
+        out = np.empty_like(sig)
+        for i, xv in enumerate(sig):
+            y = a0 * xv + z0
+            z0 = a1 * xv + z1 - b1 * y
+            z1 = -b2 * y
+            out[i] = y
+        return out
+
+    for band in range(4):
+        for frame in range(g.shape[1]):
+            sig = x[frame * 128 : frame * 128 + 256] * w
+            for s in range(4):
+                sig = biquad(a[band, s, 0], a[band, s, 1], b[band, 0], b[band, 1], sig)
+            rms = np.sqrt(np.mean(sig**2))
+            assert np.isclose(g[band, frame], rms, rtol=1e-9), (band, frame)
+
+
+def test_gammatone_db_floor():
+    x = np.zeros(4000)
+    g, _ = sg.gammatone_iir_spectrogram(
+        x, SR, 1024, 512, sg.ErbParams(8, 100.0, 4000.0).with_db_floor(-60.0)
+    )
+    assert np.allclose(np.asarray(g), -60.0, atol=1e-9)
+
+
+def test_gammatone_validation():
+    with pytest.raises(sg.InvalidInputError):
+        sg.gammatone_iir_spectrogram(np.ones(100), SR, 1024, 256, sg.ErbParams(8, 100, 4000))
