@@ -1,0 +1,125 @@
+"""Benchmark: mel-128-dB + MFCC-40 audio-seconds/s per chip.
+
+Workload = BASELINE configs #2/#3: batch of 32 × 10 s 16 kHz clips, f32,
+n_fft=1024 hop=256 Hanning, 128-mel Slaney + dB(-80), MFCC-40 (lifter 22).
+The whole pipeline is one fused jitted program on the accelerator.
+
+Baseline = the same pipeline in NumPy on the host CPU (librosa-equivalent
+math, measured with the reference's warmup+timed protocol), so
+``vs_baseline`` is the ">10× librosa-CPU audio-seconds/s per chip" criterion.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 32
+CLIP_SECONDS = 10.0
+SR = 16000
+N_FFT, HOP = 1024, 256
+N_MELS, N_MFCC = 128, 40
+WARMUP, ITERS = 3, 10
+
+
+def _signals() -> np.ndarray:
+    rng = np.random.default_rng(0)
+    t = np.arange(int(SR * CLIP_SECONDS)) / SR
+    sigs = []
+    for i in range(BATCH):
+        f = 110.0 * (2 ** (i % 8))
+        sigs.append(
+            np.sin(2 * np.pi * f * t) + 0.1 * rng.standard_normal(t.shape)
+        )
+    return np.stack(sigs).astype(np.float32)
+
+
+def bench_tpu(batch: np.ndarray) -> float:
+    import jax
+
+    from spectrograms_tpu import LogParams, MelNorm, MelParams, MfccParams, StftParams
+    from spectrograms_tpu.mfcc import MfccPlan
+
+    plan = MfccPlan(
+        StftParams(N_FFT, HOP),
+        float(SR),
+        mel_params=MelParams(N_MELS, 0.0, SR / 2.0, MelNorm.SLANEY),
+        mfcc_params=MfccParams(N_MFCC),
+        log_params=LogParams(-80.0),
+        dtype="float32",
+    )
+    x = jax.device_put(batch)
+    for _ in range(WARMUP):
+        plan.compute_batch(x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = plan.compute_batch(x)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / ITERS
+    return BATCH * CLIP_SECONDS / dt  # audio-seconds per second per chip
+
+
+def _numpy_mel_mfcc(batch: np.ndarray, mel_fb: np.ndarray, dct: np.ndarray,
+                    window: np.ndarray) -> np.ndarray:
+    pad = N_FFT // 2
+    outs = []
+    for x in batch:
+        xp = np.pad(x, (pad, pad))
+        n_frames = (len(xp) - N_FFT) // HOP + 1
+        idx = np.arange(n_frames)[:, None] * HOP + np.arange(N_FFT)[None, :]
+        frames = xp[idx] * window[None, :]
+        spec = np.fft.rfft(frames, axis=-1)
+        power = spec.real**2 + spec.imag**2
+        mel = power @ mel_fb.T
+        mel_db = 10.0 * np.log10(np.maximum(mel, 1e-8))
+        outs.append(mel_db @ dct)
+    return np.stack(outs)
+
+
+def bench_numpy_baseline(batch: np.ndarray) -> float:
+    from spectrograms_tpu import MelNorm, MelParams, make_window, mel_filterbank
+    from spectrograms_tpu.mfcc import _dct_lifter_matrix
+
+    mel_fb = mel_filterbank(SR, N_FFT, MelParams(N_MELS, 0.0, SR / 2.0, MelNorm.SLANEY))
+    dct = _dct_lifter_matrix(N_MELS, N_MFCC, 22)
+    window = make_window("hann", N_FFT, np.float32)
+    mel_fb32 = mel_fb.astype(np.float32)
+    dct32 = dct.astype(np.float32)
+
+    _numpy_mel_mfcc(batch[:2], mel_fb32, dct32, window)  # warmup
+    t0 = time.perf_counter()
+    n_iters = 2
+    for _ in range(n_iters):
+        _numpy_mel_mfcc(batch, mel_fb32, dct32, window)
+    dt = (time.perf_counter() - t0) / n_iters
+    return BATCH * CLIP_SECONDS / dt
+
+
+def main() -> None:
+    batch = _signals()
+    baseline = bench_numpy_baseline(batch)
+    ours = bench_tpu(batch)
+    print(
+        json.dumps(
+            {
+                "metric": "mel128_db+mfcc40 audio-seconds/s per chip (batch 32 x 10s @16kHz, f32)",
+                "value": round(ours, 1),
+                "unit": "audio_s/s",
+                "vs_baseline": round(ours / baseline, 2),
+            }
+        )
+    )
+    print(
+        f"# numpy-cpu baseline: {baseline:.1f} audio_s/s; "
+        f"target >10x -> {'PASS' if ours > 10 * baseline else 'MISS'}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

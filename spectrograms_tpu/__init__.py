@@ -113,6 +113,32 @@ from .image_ops import (
     detect_edges_fft,
     sharpen_fft,
 )
+from .binaural import (
+    magphase,
+    ITDSpectrogramParams,
+    IPDSpectrogramParams,
+    ILDSpectrogramParams,
+    ILRSpectrogramParams,
+    ItdSpectrogram,
+    IpdSpectrogram,
+    IldSpectrogram,
+    IlrSpectrogram,
+    compute_itd_spectrogram,
+    compute_ipd_spectrogram,
+    compute_ild_spectrogram,
+    compute_ilr_spectrogram,
+    compute_itd_spectrogram_diff,
+    compute_ilr_spectrogram_diff,
+)
+from .source import (
+    SpectrogramSource,
+    PlanSource,
+    GammatoneSource,
+    CqtSource,
+    ChromaSource,
+    MfccSource,
+)
+from . import parallel
 
 __version__ = "0.1.0"
 
@@ -228,4 +254,29 @@ __all__ = [
     "bandpass_filter",
     "detect_edges_fft",
     "sharpen_fft",
+    # binaural
+    "magphase",
+    "ITDSpectrogramParams",
+    "IPDSpectrogramParams",
+    "ILDSpectrogramParams",
+    "ILRSpectrogramParams",
+    "ItdSpectrogram",
+    "IpdSpectrogram",
+    "IldSpectrogram",
+    "IlrSpectrogram",
+    "compute_itd_spectrogram",
+    "compute_ipd_spectrogram",
+    "compute_ild_spectrogram",
+    "compute_ilr_spectrogram",
+    "compute_itd_spectrogram_diff",
+    "compute_ilr_spectrogram_diff",
+    # sources
+    "SpectrogramSource",
+    "PlanSource",
+    "GammatoneSource",
+    "CqtSource",
+    "ChromaSource",
+    "MfccSource",
+    # parallel
+    "parallel",
 ] + list(_functions_all)
