@@ -61,6 +61,24 @@ from .pipeline import (
     StftPlan,
     StftResult,
 )
+from .plans import (
+    LinearPowerPlan,
+    LinearMagnitudePlan,
+    LinearDbPlan,
+    MelPowerPlan,
+    MelMagnitudePlan,
+    MelDbPlan,
+    ErbPowerPlan,
+    ErbMagnitudePlan,
+    ErbDbPlan,
+    LogHzPowerPlan,
+    LogHzMagnitudePlan,
+    LogHzDbPlan,
+    CqtPowerPlan,
+    CqtMagnitudePlan,
+    CqtDbPlan,
+)
+from .errors import FFTBackendError
 from .ops.stft import fft, rfft, irfft, power_spectrum, magnitude_spectrum, stft, istft
 from .ops.filterbanks import (
     hz_to_mel,
@@ -189,6 +207,24 @@ __all__ = [
     "SpectrogramPlanner",
     "StftPlan",
     "StftResult",
+    # typed plans (reference planner.rs:671-882)
+    "LinearPowerPlan",
+    "LinearMagnitudePlan",
+    "LinearDbPlan",
+    "MelPowerPlan",
+    "MelMagnitudePlan",
+    "MelDbPlan",
+    "ErbPowerPlan",
+    "ErbMagnitudePlan",
+    "ErbDbPlan",
+    "LogHzPowerPlan",
+    "LogHzMagnitudePlan",
+    "LogHzDbPlan",
+    "CqtPowerPlan",
+    "CqtMagnitudePlan",
+    "CqtDbPlan",
+    "FFTBackendError",
+    "__version__",
     # spectral ops
     "fft",
     "rfft",

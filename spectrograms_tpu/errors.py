@@ -49,6 +49,12 @@ class InternalError(SpectrogramError, RuntimeError):
     """Raised on internal invariant violations (bugs)."""
 
 
+# The reference's Python package spells this name ``FFTBackendError``
+# (``/root/reference/python/spectrograms/__init__.py:62``); keep both.
+FFTBackendError = FftBackendError
+__all__.append("FFTBackendError")
+
+
 def invalid_input(msg: str) -> InvalidInputError:
     """Constructor helper mirroring ``SpectrogramError::invalid_input``."""
     return InvalidInputError(msg)

@@ -498,32 +498,50 @@ class SpectrogramPlanner:
 
 
 # Generate the 15 named {scale}_{amp}_plan builders on SpectrogramPlanner —
-# the PyO3 layer exposes exactly this matrix (planner.rs:107-668).
+# the PyO3 layer exposes exactly this matrix (planner.rs:107-668). Each
+# returns the matching typed plan class from spectrograms_tpu.plans
+# (MelDbPlan, LinearPowerPlan, …), imported lazily to avoid a cycle.
 def _install_named_builders():
     amp_map = {
-        "power": AmpScale.POWER,
-        "magnitude": AmpScale.MAGNITUDE,
-        "db": AmpScale.DECIBELS,
+        "power": ("Power", AmpScale.POWER),
+        "magnitude": ("Magnitude", AmpScale.MAGNITUDE),
+        "db": ("Db", AmpScale.DECIBELS),
     }
     scale_info = {
-        "linear": (FreqScale.LINEAR, False),
-        "mel": (FreqScale.MEL, True),
-        "erb": (FreqScale.ERB, True),
-        "loghz": (FreqScale.LOG_HZ, True),
-        "cqt": (FreqScale.CQT, True),
+        "linear": ("Linear", False),
+        "mel": ("Mel", True),
+        "erb": ("Erb", True),
+        "loghz": ("LogHz", True),
+        "cqt": ("Cqt", True),
     }
-    for scale_name, (scale, needs_params) in scale_info.items():
-        for amp_name, amp in amp_map.items():
+    for scale_name, (cls_scale, needs_params) in scale_info.items():
+        for amp_name, (cls_amp, amp) in amp_map.items():
+            cls_name = f"{cls_scale}{cls_amp}Plan"
             if needs_params:
                 def builder(self, params, scale_params, db=None, dtype=None, method=None,
-                            _scale=scale, _amp=amp, _amp_name=amp_name):
-                    dbp = db if _amp == AmpScale.DECIBELS else None
-                    return self._plan(params, _scale, _amp, scale_params, dbp, dtype, method)
+                            _cls_name=cls_name, _amp=amp):
+                    from . import plans
+
+                    cls = getattr(plans, _cls_name)
+                    return cls(
+                        params,
+                        scale_params,
+                        db=db if _amp == AmpScale.DECIBELS else None,
+                        dtype=dtype if dtype is not None else self._default_dtype,
+                        method=method if method is not None else self._default_method,
+                    )
             else:
                 def builder(self, params, db=None, dtype=None, method=None,
-                            _scale=scale, _amp=amp, _amp_name=amp_name):
-                    dbp = db if _amp == AmpScale.DECIBELS else None
-                    return self._plan(params, _scale, _amp, None, dbp, dtype, method)
+                            _cls_name=cls_name, _amp=amp):
+                    from . import plans
+
+                    cls = getattr(plans, _cls_name)
+                    return cls(
+                        params,
+                        db=db if _amp == AmpScale.DECIBELS else None,
+                        dtype=dtype if dtype is not None else self._default_dtype,
+                        method=method if method is not None else self._default_method,
+                    )
             name = f"{scale_name}_{amp_name}_plan"
             builder.__name__ = name
             builder.__doc__ = f"Build a {scale_name} {amp_name} spectrogram plan."
