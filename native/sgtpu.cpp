@@ -1,0 +1,520 @@
+// sgtpu — native host runtime for spectrograms_tpu.
+//
+// The reference crate's native layer is its Rust FFT runtime
+// (/root/reference/src/fft_backend.rs); on TPU the transform FLOPs live in
+// XLA, so the native layer here is the *host data path* that keeps the chip
+// fed: WAV decode/encode, a streaming ring-buffer framer (the stateful
+// analog of the reference's frame-by-frame streaming,
+// /root/reference/src/spectrogram.rs:335,1500), and a multi-threaded
+// prefetching batch loader producing fixed-shape padded batches for jit.
+//
+// Plain C ABI, consumed from Python via ctypes (no pybind11 in the image).
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#define SG_API extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+thread_local std::string g_error;
+
+void set_error(const std::string& msg) { g_error = msg; }
+
+}  // namespace
+
+SG_API const char* sg_last_error() { return g_error.c_str(); }
+
+SG_API void sg_free(void* p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// WAV IO (RIFF PCM16/24/32 + IEEE float32/64, mono or interleaved multichannel)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct WavInfo {
+  uint16_t format = 0;  // 1 = PCM, 3 = IEEE float
+  uint16_t channels = 0;
+  uint32_t sample_rate = 0;
+  uint16_t bits = 0;
+  uint64_t data_offset = 0;
+  uint64_t data_bytes = 0;
+};
+
+bool read_exact(FILE* f, void* dst, size_t n) { return fread(dst, 1, n, f) == n; }
+
+bool parse_wav_header(FILE* f, WavInfo* info) {
+  char tag[4];
+  uint32_t riff_size = 0;
+  if (!read_exact(f, tag, 4) || memcmp(tag, "RIFF", 4) != 0) {
+    set_error("not a RIFF file");
+    return false;
+  }
+  if (!read_exact(f, &riff_size, 4)) return false;
+  if (!read_exact(f, tag, 4) || memcmp(tag, "WAVE", 4) != 0) {
+    set_error("not a WAVE file");
+    return false;
+  }
+  bool have_fmt = false;
+  while (read_exact(f, tag, 4)) {
+    uint32_t chunk = 0;
+    if (!read_exact(f, &chunk, 4)) break;
+    if (memcmp(tag, "fmt ", 4) == 0) {
+      std::vector<uint8_t> buf(chunk);
+      if (!read_exact(f, buf.data(), chunk)) return false;
+      if (chunk < 16) {
+        set_error("fmt chunk too small");
+        return false;
+      }
+      memcpy(&info->format, buf.data() + 0, 2);
+      memcpy(&info->channels, buf.data() + 2, 2);
+      memcpy(&info->sample_rate, buf.data() + 4, 4);
+      memcpy(&info->bits, buf.data() + 14, 2);
+      if (info->format == 0xFFFE && chunk >= 40) {
+        // WAVE_FORMAT_EXTENSIBLE: real format is the first 2 bytes of the GUID.
+        memcpy(&info->format, buf.data() + 24, 2);
+      }
+      have_fmt = true;
+    } else if (memcmp(tag, "data", 4) == 0) {
+      info->data_offset = static_cast<uint64_t>(ftell(f));
+      info->data_bytes = chunk;
+      // Chunks are word-aligned; skip (handles data not being last).
+      fseek(f, static_cast<long>(chunk + (chunk & 1)), SEEK_CUR);
+    } else {
+      fseek(f, static_cast<long>(chunk + (chunk & 1)), SEEK_CUR);
+    }
+  }
+  if (!have_fmt || info->data_offset == 0) {
+    set_error("missing fmt or data chunk");
+    return false;
+  }
+  if (info->format != 1 && info->format != 3) {
+    set_error("unsupported WAV format tag " + std::to_string(info->format));
+    return false;
+  }
+  if (info->channels == 0) {
+    set_error("zero channels");
+    return false;
+  }
+  return true;
+}
+
+float decode_sample(const uint8_t* p, uint16_t format, uint16_t bits) {
+  if (format == 3) {  // IEEE float
+    if (bits == 32) {
+      float v;
+      memcpy(&v, p, 4);
+      return v;
+    }
+    double v;
+    memcpy(&v, p, 8);
+    return static_cast<float>(v);
+  }
+  switch (bits) {
+    case 8:  // unsigned
+      return (static_cast<int>(p[0]) - 128) / 128.0f;
+    case 16: {
+      int16_t v;
+      memcpy(&v, p, 2);
+      return v / 32768.0f;
+    }
+    case 24: {
+      int32_t v = (p[0] << 8) | (p[1] << 16) | (p[2] << 24);
+      return (v >> 8) / 8388608.0f;
+    }
+    case 32: {
+      int32_t v;
+      memcpy(&v, p, 4);
+      return static_cast<float>(v / 2147483648.0);
+    }
+    default:
+      return 0.0f;
+  }
+}
+
+}  // namespace
+
+// Reads a WAV file into interleaved float32 in [-1, 1].
+// Returns 0 on success. *out is malloc'd (n_frames * n_channels floats);
+// caller frees with sg_free.
+SG_API int sg_wav_read(const char* path, float** out, int64_t* n_frames,
+                       int32_t* n_channels, int32_t* sample_rate) {
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    set_error(std::string("cannot open ") + path);
+    return -1;
+  }
+  WavInfo info;
+  if (!parse_wav_header(f, &info)) {
+    fclose(f);
+    return -1;
+  }
+  const uint16_t bytes_per = info.bits / 8;
+  if (bytes_per == 0 ||
+      (info.format == 1 && info.bits != 8 && info.bits != 16 && info.bits != 24 && info.bits != 32) ||
+      (info.format == 3 && info.bits != 32 && info.bits != 64)) {
+    set_error("unsupported bit depth " + std::to_string(info.bits));
+    fclose(f);
+    return -1;
+  }
+  const uint64_t total_samples = info.data_bytes / bytes_per;
+  const uint64_t frames = total_samples / info.channels;
+  std::vector<uint8_t> raw(info.data_bytes);
+  fseek(f, static_cast<long>(info.data_offset), SEEK_SET);
+  if (!read_exact(f, raw.data(), info.data_bytes)) {
+    set_error("truncated data chunk");
+    fclose(f);
+    return -1;
+  }
+  fclose(f);
+
+  float* buf = static_cast<float*>(malloc(frames * info.channels * sizeof(float)));
+  if (!buf) {
+    set_error("out of memory");
+    return -1;
+  }
+  const uint8_t* p = raw.data();
+  const uint64_t n = frames * info.channels;
+  for (uint64_t i = 0; i < n; ++i, p += bytes_per) {
+    buf[i] = decode_sample(p, info.format, info.bits);
+  }
+  *out = buf;
+  *n_frames = static_cast<int64_t>(frames);
+  *n_channels = info.channels;
+  *sample_rate = static_cast<int32_t>(info.sample_rate);
+  return 0;
+}
+
+// Writes interleaved float32 data as WAV. bits: 16 (PCM16) or 32 (float32).
+SG_API int sg_wav_write(const char* path, const float* data, int64_t n_frames,
+                        int32_t n_channels, int32_t sample_rate, int32_t bits) {
+  if (bits != 16 && bits != 32) {
+    set_error("bits must be 16 (PCM) or 32 (float)");
+    return -1;
+  }
+  FILE* f = fopen(path, "wb");
+  if (!f) {
+    set_error(std::string("cannot open ") + path);
+    return -1;
+  }
+  const uint16_t format = bits == 16 ? 1 : 3;
+  const uint32_t byte_rate = sample_rate * n_channels * (bits / 8);
+  const uint16_t block_align = static_cast<uint16_t>(n_channels * (bits / 8));
+  const uint32_t data_bytes =
+      static_cast<uint32_t>(n_frames * n_channels * (bits / 8));
+  const uint32_t riff_size = 36 + data_bytes;
+  const uint16_t ch16 = static_cast<uint16_t>(n_channels);
+  const uint16_t bits16 = static_cast<uint16_t>(bits);
+  const uint32_t fmt_size = 16;
+
+  fwrite("RIFF", 1, 4, f);
+  fwrite(&riff_size, 4, 1, f);
+  fwrite("WAVE", 1, 4, f);
+  fwrite("fmt ", 1, 4, f);
+  fwrite(&fmt_size, 4, 1, f);
+  fwrite(&format, 2, 1, f);
+  fwrite(&ch16, 2, 1, f);
+  fwrite(&sample_rate, 4, 1, f);
+  fwrite(&byte_rate, 4, 1, f);
+  fwrite(&block_align, 2, 1, f);
+  fwrite(&bits16, 2, 1, f);
+  fwrite("data", 1, 4, f);
+  fwrite(&data_bytes, 4, 1, f);
+
+  const int64_t n = n_frames * n_channels;
+  if (bits == 32) {
+    fwrite(data, sizeof(float), static_cast<size_t>(n), f);
+  } else {
+    std::vector<int16_t> pcm(static_cast<size_t>(n));
+    for (int64_t i = 0; i < n; ++i) {
+      float v = data[i];
+      if (v > 1.0f) v = 1.0f;
+      if (v < -1.0f) v = -1.0f;
+      pcm[static_cast<size_t>(i)] = static_cast<int16_t>(lrintf(v * 32767.0f));
+    }
+    fwrite(pcm.data(), sizeof(int16_t), pcm.size(), f);
+  }
+  fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Streaming ring-buffer framer
+// ---------------------------------------------------------------------------
+//
+// Push arbitrary-size sample chunks; pop complete hop-advanced frames of
+// n_fft samples (retaining the n_fft - hop overlap). Constant memory, zero
+// allocation on the push/pop path — the stateful streaming engine the TPU
+// front-end batches frames from.
+
+namespace {
+
+struct Framer {
+  int64_t n_fft;
+  int64_t hop;
+  std::vector<float> buf;   // ring storage, capacity cap
+  int64_t cap;
+  int64_t head = 0;         // read position (absolute index mod cap)
+  int64_t size = 0;         // valid samples currently buffered
+  uint64_t pushed = 0;      // total samples ever pushed
+  uint64_t popped_frames = 0;
+};
+
+}  // namespace
+
+SG_API void* sg_framer_new(int64_t n_fft, int64_t hop, int64_t capacity) {
+  if (n_fft <= 0 || hop <= 0 || hop > n_fft) {
+    set_error("require 0 < hop <= n_fft");
+    return nullptr;
+  }
+  if (capacity < 2 * n_fft) capacity = 2 * n_fft;
+  Framer* fr = new Framer();
+  fr->n_fft = n_fft;
+  fr->hop = hop;
+  fr->cap = capacity;
+  fr->buf.resize(static_cast<size_t>(capacity));
+  return fr;
+}
+
+SG_API void sg_framer_free(void* h) { delete static_cast<Framer*>(h); }
+
+// Number of samples that can be pushed without overflowing.
+SG_API int64_t sg_framer_space(void* h) {
+  Framer* fr = static_cast<Framer*>(h);
+  return fr->cap - fr->size;
+}
+
+// Number of complete frames currently available.
+SG_API int64_t sg_framer_available(void* h) {
+  Framer* fr = static_cast<Framer*>(h);
+  if (fr->size < fr->n_fft) return 0;
+  return (fr->size - fr->n_fft) / fr->hop + 1;
+}
+
+// Pushes n samples. Returns samples accepted (== n unless the ring is full).
+SG_API int64_t sg_framer_push(void* h, const float* samples, int64_t n) {
+  Framer* fr = static_cast<Framer*>(h);
+  const int64_t accept = std::min(n, fr->cap - fr->size);
+  int64_t w = (fr->head + fr->size) % fr->cap;
+  const int64_t first = std::min(accept, fr->cap - w);
+  memcpy(fr->buf.data() + w, samples, static_cast<size_t>(first) * sizeof(float));
+  if (accept > first) {
+    memcpy(fr->buf.data(), samples + first,
+           static_cast<size_t>(accept - first) * sizeof(float));
+  }
+  fr->size += accept;
+  fr->pushed += static_cast<uint64_t>(accept);
+  return accept;
+}
+
+// Pops up to max_frames complete frames into out (max_frames * n_fft floats,
+// row-major). Advances by hop per frame, keeping the n_fft - hop overlap
+// buffered. Returns the number of frames written.
+SG_API int64_t sg_framer_pop(void* h, float* out, int64_t max_frames) {
+  Framer* fr = static_cast<Framer*>(h);
+  int64_t produced = 0;
+  while (produced < max_frames && fr->size >= fr->n_fft) {
+    const int64_t start = fr->head;
+    const int64_t first = std::min(fr->n_fft, fr->cap - start);
+    memcpy(out, fr->buf.data() + start, static_cast<size_t>(first) * sizeof(float));
+    if (fr->n_fft > first) {
+      memcpy(out + first, fr->buf.data(),
+             static_cast<size_t>(fr->n_fft - first) * sizeof(float));
+    }
+    out += fr->n_fft;
+    fr->head = (fr->head + fr->hop) % fr->cap;
+    fr->size -= fr->hop;
+    fr->popped_frames++;
+    produced++;
+  }
+  return produced;
+}
+
+// Drains the tail: zero-pads the final partial window into one last frame.
+// Returns 1 if a frame was written, 0 if nothing remained.
+SG_API int32_t sg_framer_flush(void* h, float* out) {
+  Framer* fr = static_cast<Framer*>(h);
+  if (fr->size <= 0) return 0;
+  const int64_t have = std::min(fr->size, fr->n_fft);
+  const int64_t start = fr->head;
+  const int64_t first = std::min(have, fr->cap - start);
+  memcpy(out, fr->buf.data() + start, static_cast<size_t>(first) * sizeof(float));
+  if (have > first) {
+    memcpy(out + first, fr->buf.data(),
+           static_cast<size_t>(have - first) * sizeof(float));
+  }
+  memset(out + have, 0, static_cast<size_t>(fr->n_fft - have) * sizeof(float));
+  fr->head = 0;
+  fr->size = 0;
+  return 1;
+}
+
+// ---------------------------------------------------------------------------
+// Prefetching batch loader
+// ---------------------------------------------------------------------------
+//
+// Worker threads decode WAV files and assemble fixed-shape padded batches
+// (batch, target_len) float32 + per-item lengths — exactly the bucket-and-pad
+// shape a jit program wants. Double-ended: workers block when the prefetch
+// queue is full; the consumer blocks when it is empty.
+
+namespace {
+
+struct Batch {
+  std::vector<float> data;      // batch * target_len
+  std::vector<int64_t> lengths;  // batch
+  int64_t n_items;
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  int64_t batch;
+  int64_t target_len;
+  size_t prefetch;
+  std::atomic<size_t> next_path{0};
+
+  std::mutex mu;
+  std::condition_variable cv_put, cv_get;
+  std::deque<Batch> queue;
+  // Items decoded but not yet grouped into a batch (per-worker staging would
+  // reorder; a shared staging area under the lock keeps batches dense).
+  std::vector<std::pair<std::vector<float>, int64_t>> staging;
+  int64_t files_done = 0;
+  bool closed = false;
+  std::vector<std::thread> workers;
+  std::string error;
+
+  ~Loader() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      closed = true;
+    }
+    cv_put.notify_all();
+    cv_get.notify_all();
+    for (auto& t : workers) t.join();
+  }
+};
+
+void flush_staging_locked(Loader* L) {
+  while (static_cast<int64_t>(L->staging.size()) >= L->batch ||
+         (L->files_done == static_cast<int64_t>(L->paths.size()) &&
+          !L->staging.empty())) {
+    const int64_t n =
+        std::min<int64_t>(L->batch, static_cast<int64_t>(L->staging.size()));
+    Batch b;
+    b.n_items = n;
+    b.data.assign(static_cast<size_t>(L->batch * L->target_len), 0.0f);
+    b.lengths.assign(static_cast<size_t>(L->batch), 0);
+    for (int64_t i = 0; i < n; ++i) {
+      auto& item = L->staging[static_cast<size_t>(i)];
+      const int64_t len =
+          std::min<int64_t>(item.second, L->target_len);
+      memcpy(b.data.data() + i * L->target_len, item.first.data(),
+             static_cast<size_t>(len) * sizeof(float));
+      b.lengths[static_cast<size_t>(i)] = len;
+    }
+    L->staging.erase(L->staging.begin(), L->staging.begin() + n);
+    L->queue.push_back(std::move(b));
+    L->cv_get.notify_one();
+    if (static_cast<int64_t>(L->staging.size()) < L->batch &&
+        L->files_done != static_cast<int64_t>(L->paths.size())) {
+      break;
+    }
+  }
+}
+
+void loader_worker(Loader* L) {
+  for (;;) {
+    const size_t idx = L->next_path.fetch_add(1);
+    if (idx >= L->paths.size()) break;
+    float* data = nullptr;
+    int64_t frames = 0;
+    int32_t channels = 0, sr = 0;
+    std::vector<float> mono;
+    int rc = sg_wav_read(L->paths[idx].c_str(), &data, &frames, &channels, &sr);
+    if (rc == 0) {
+      mono.resize(static_cast<size_t>(frames));
+      if (channels == 1) {
+        memcpy(mono.data(), data, static_cast<size_t>(frames) * sizeof(float));
+      } else {
+        for (int64_t i = 0; i < frames; ++i) {
+          float acc = 0.0f;
+          for (int32_t c = 0; c < channels; ++c) acc += data[i * channels + c];
+          mono[static_cast<size_t>(i)] = acc / static_cast<float>(channels);
+        }
+      }
+      sg_free(data);
+    }
+
+    std::unique_lock<std::mutex> lk(L->mu);
+    if (rc != 0 && L->error.empty()) L->error = "failed to read " + L->paths[idx];
+    L->cv_put.wait(lk, [L] {
+      return L->closed || L->queue.size() < L->prefetch;
+    });
+    if (L->closed) break;
+    if (rc == 0) L->staging.emplace_back(std::move(mono), frames);
+    L->files_done++;
+    flush_staging_locked(L);
+  }
+  std::lock_guard<std::mutex> lk(L->mu);
+  L->cv_get.notify_all();
+}
+
+}  // namespace
+
+SG_API void* sg_loader_new(const char** paths, int64_t n_paths, int64_t batch,
+                           int64_t target_len, int32_t n_threads,
+                           int32_t prefetch_batches) {
+  if (n_paths <= 0 || batch <= 0 || target_len <= 0) {
+    set_error("n_paths, batch and target_len must be positive");
+    return nullptr;
+  }
+  Loader* L = new Loader();
+  L->paths.reserve(static_cast<size_t>(n_paths));
+  for (int64_t i = 0; i < n_paths; ++i) L->paths.emplace_back(paths[i]);
+  L->batch = batch;
+  L->target_len = target_len;
+  L->prefetch = static_cast<size_t>(prefetch_batches > 0 ? prefetch_batches : 4);
+  const int32_t nt = n_threads > 0 ? n_threads : 4;
+  for (int32_t i = 0; i < nt; ++i) L->workers.emplace_back(loader_worker, L);
+  return L;
+}
+
+SG_API void sg_loader_free(void* h) { delete static_cast<Loader*>(h); }
+
+// Blocks for the next batch. out_data: batch*target_len floats,
+// out_lengths: batch int64 (0 marks a padding row). Returns the number of
+// real items (> 0), 0 at end of data, -1 on error.
+SG_API int64_t sg_loader_next(void* h, float* out_data, int64_t* out_lengths) {
+  Loader* L = static_cast<Loader*>(h);
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->cv_get.wait(lk, [L] {
+    return !L->queue.empty() || L->closed ||
+           (L->files_done == static_cast<int64_t>(L->paths.size()) &&
+            L->staging.empty());
+  });
+  if (L->queue.empty()) {
+    if (!L->error.empty()) {
+      set_error(L->error);
+      return -1;
+    }
+    return 0;
+  }
+  Batch b = std::move(L->queue.front());
+  L->queue.pop_front();
+  L->cv_put.notify_all();
+  lk.unlock();
+  memcpy(out_data, b.data.data(), b.data.size() * sizeof(float));
+  memcpy(out_lengths, b.lengths.data(), b.lengths.size() * sizeof(int64_t));
+  return b.n_items;
+}
