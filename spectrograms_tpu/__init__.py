@@ -157,6 +157,9 @@ from .source import (
     MfccSource,
 )
 from . import parallel
+from . import serde
+from . import runtime
+from .cache import fft_plan_cache_info, clear_fft_plan_cache, cache_stats
 
 __version__ = "0.1.0"
 
@@ -313,6 +316,11 @@ __all__ = [
     "CqtSource",
     "ChromaSource",
     "MfccSource",
-    # parallel
+    # parallel / runtime / serde / cache
     "parallel",
+    "serde",
+    "runtime",
+    "fft_plan_cache_info",
+    "clear_fft_plan_cache",
+    "cache_stats",
 ] + list(_functions_all)
