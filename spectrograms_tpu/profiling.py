@@ -1,0 +1,196 @@
+"""Roofline cost model + profiling helpers (BASELINE "speed-of-light" metric).
+
+The reference has no in-library profiling (SURVEY.md §5); perf work lives in
+external criterion benches. A TPU framework needs the counters in-library:
+every plan can report its FLOPs and HBM bytes, and measured runtimes convert
+to a %-of-roofline figure against the chip's peak matmul throughput and HBM
+bandwidth.
+
+Chip peaks are tabulated for the TPU generations we target; unknown chips
+fall back to v5e numbers. ``jax.profiler`` trace helpers wrap the standard
+tracing flow for deeper dives.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+__all__ = [
+    "ChipSpec",
+    "CHIPS",
+    "detect_chip",
+    "CostEstimate",
+    "plan_cost",
+    "roofline",
+    "trace",
+]
+
+
+@dataclass(frozen=True)
+class ChipSpec:
+    """Peak numbers for one TPU chip (per-chip, not per-core)."""
+
+    name: str
+    bf16_tflops: float       # MXU peak, bf16 inputs / f32 accumulate
+    hbm_gbps: float          # HBM bandwidth, GB/s
+    vmem_mb: float = 128.0
+
+    @property
+    def f32_tflops(self) -> float:
+        # fp32 matmuls run as multi-pass bf16 on the MXU (≈1/3 of bf16 peak
+        # for the 3-pass HIGH scheme, ≈1/6 for 6-pass HIGHEST).
+        return self.bf16_tflops / 3.0
+
+
+CHIPS: Dict[str, ChipSpec] = {
+    "v4": ChipSpec("v4", bf16_tflops=275.0, hbm_gbps=1228.0),
+    "v5e": ChipSpec("v5e", bf16_tflops=197.0, hbm_gbps=819.0),
+    "v5p": ChipSpec("v5p", bf16_tflops=459.0, hbm_gbps=2765.0),
+    "v6e": ChipSpec("v6e", bf16_tflops=918.0, hbm_gbps=1640.0),
+}
+
+
+def detect_chip() -> ChipSpec:
+    """Best-effort detection from jax.devices(); defaults to v5e."""
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # pragma: no cover
+        return CHIPS["v5e"]
+    for key, spec in CHIPS.items():
+        if key in kind.replace(" ", "").replace("tpu", ""):
+            return spec
+    if "lite" in kind:
+        return CHIPS["v5e"]
+    return CHIPS["v5e"]
+
+
+@dataclass
+class CostEstimate:
+    """FLOPs + HBM traffic of one program invocation."""
+
+    flops: float
+    bytes_hbm: float
+    transcendentals: float = 0.0
+
+    @property
+    def arithmetic_intensity(self) -> float:
+        return self.flops / max(self.bytes_hbm, 1.0)
+
+    def light_speed_s(self, chip: Optional[ChipSpec] = None, dtype="bfloat16") -> float:
+        """Roofline lower-bound runtime on the given chip."""
+        chip = chip or detect_chip()
+        peak = chip.bf16_tflops if "bf16" in str(dtype) else chip.f32_tflops
+        t_compute = self.flops / (peak * 1e12)
+        t_memory = self.bytes_hbm / (chip.hbm_gbps * 1e9)
+        return max(t_compute, t_memory)
+
+    def __add__(self, other: "CostEstimate") -> "CostEstimate":
+        return CostEstimate(
+            self.flops + other.flops,
+            self.bytes_hbm + other.bytes_hbm,
+            self.transcendentals + other.transcendentals,
+        )
+
+
+def plan_cost(plan, n_samples: int, batch: int = 1) -> CostEstimate:
+    """Analytic cost of ``plan.compute`` on a signal of ``n_samples``.
+
+    Counts the DFT/CQT matmuls, the filterbank matmul, and the elementwise
+    stages; HBM traffic assumes frames materialize once and XLA fuses the
+    elementwise tail into the producing matmul (what the compiled HLO does).
+    """
+    from .pipeline import AmpScale, FreqScale
+
+    n_bins_out, n_frames = plan.output_shape(n_samples)
+    n_fft = plan._n_fft
+    itemsize = np.dtype(plan._dtype).itemsize
+    n_spec_bins = n_fft // 2 + 1
+
+    flops = 0.0
+    bytes_hbm = 0.0
+    trans = 0.0
+
+    frames_elems = n_frames * n_fft
+    # framing: read signal, write frame matrix
+    bytes_hbm += (n_samples + frames_elems) * itemsize
+
+    if plan.freq_scale == FreqScale.CQT:
+        k_bins = plan._cqt_re.shape[1]
+        flops += 2 * 2 * frames_elems * k_bins            # two matmuls
+        flops += 3 * n_frames * k_bins                    # |·|²
+        bytes_hbm += 2 * frames_elems * itemsize          # frames read ×2
+        bytes_hbm += 2 * n_fft * k_bins * itemsize        # kernels
+        bytes_hbm += n_frames * k_bins * itemsize         # output
+    elif plan.method == "matmul":
+        flops += 2 * 2 * frames_elems * n_spec_bins       # cos+sin matmuls
+        flops += 3 * n_frames * n_spec_bins               # re²+im²
+        bytes_hbm += 2 * frames_elems * itemsize
+        bytes_hbm += 2 * n_fft * n_spec_bins * itemsize
+        bytes_hbm += n_frames * n_spec_bins * itemsize
+    else:  # XLA FFT
+        flops += 5.0 * frames_elems * np.log2(n_fft)
+        bytes_hbm += 2 * frames_elems * itemsize + n_frames * n_spec_bins * itemsize
+
+    if plan._mapping_t is not None:
+        n_in = plan._mapping_t.shape[0]
+        flops += 2 * n_frames * n_in * n_bins_out
+        bytes_hbm += (n_frames * n_in + n_in * n_bins_out + n_frames * n_bins_out) * itemsize
+
+    out_elems = n_frames * n_bins_out
+    if plan.amp_scale == AmpScale.MAGNITUDE:
+        flops += out_elems
+        trans += out_elems            # sqrt
+    elif plan.amp_scale == AmpScale.DECIBELS:
+        flops += 2 * out_elems
+        trans += out_elems            # log10
+    bytes_hbm += out_elems * itemsize  # final output write
+
+    return CostEstimate(flops * batch, bytes_hbm * batch, trans * batch)
+
+
+def roofline(
+    plan,
+    n_samples: int,
+    measured_s: float,
+    batch: int = 1,
+    chip: Optional[ChipSpec] = None,
+    dtype="float32",
+) -> Dict[str, float]:
+    """Measured runtime → roofline report dict."""
+    chip = chip or detect_chip()
+    cost = plan_cost(plan, n_samples, batch)
+    light = cost.light_speed_s(chip, dtype)
+    return {
+        "flops": cost.flops,
+        "bytes_hbm": cost.bytes_hbm,
+        "arithmetic_intensity": cost.arithmetic_intensity,
+        "light_speed_s": light,
+        "measured_s": measured_s,
+        "pct_of_roofline": 100.0 * light / measured_s if measured_s > 0 else 0.0,
+        "achieved_tflops": cost.flops / measured_s / 1e12 if measured_s > 0 else 0.0,
+        "achieved_gbps": cost.bytes_hbm / measured_s / 1e9 if measured_s > 0 else 0.0,
+    }
+
+
+class trace:
+    """``with profiling.trace("/tmp/trace"):`` → jax.profiler trace context."""
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False

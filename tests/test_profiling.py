@@ -1,0 +1,45 @@
+"""Roofline cost model sanity checks."""
+
+import numpy as np
+
+import spectrograms_tpu as sg
+from spectrograms_tpu import profiling
+
+
+PARAMS = sg.SpectrogramParams(sg.StftParams(1024, 256), 16000.0)
+MEL = sg.MelParams(128, 0.0, 8000.0, sg.MelNorm.SLANEY)
+
+
+def test_plan_cost_counts_matmul_flops():
+    plan = sg.MelDbPlan(PARAMS, MEL, sg.LogParams(-80.0), dtype="float32")
+    n = 160000
+    cost = profiling.plan_cost(plan, n)
+    _, n_frames = plan.output_shape(n)
+    dft_flops = 2 * 2 * n_frames * 1024 * 513
+    assert cost.flops > dft_flops  # dft + mel + elementwise
+    assert cost.flops < dft_flops * 1.2
+    assert cost.bytes_hbm > n_frames * 1024 * 4  # at least the frame matrix
+    assert cost.arithmetic_intensity > 50  # matmul-dominated
+
+
+def test_light_speed_and_roofline():
+    plan = sg.MelDbPlan(PARAMS, MEL, sg.LogParams(-80.0), dtype="float32")
+    chip = profiling.CHIPS["v5e"]
+    cost = profiling.plan_cost(plan, 160000, batch=32)
+    light = cost.light_speed_s(chip, "bfloat16")
+    assert 0 < light < 0.1
+    rep = profiling.roofline(plan, 160000, measured_s=light * 4, batch=32, chip=chip)
+    assert abs(rep["pct_of_roofline"] - 25.0) < 1e-6
+    assert rep["achieved_tflops"] > 0
+
+
+def test_fft_method_cheaper_flops():
+    mm = sg.LinearPowerPlan(PARAMS, dtype="float32", method="matmul")
+    ff = sg.LinearPowerPlan(PARAMS, dtype="float32", method="fft")
+    n = 160000
+    assert profiling.plan_cost(ff, n).flops < profiling.plan_cost(mm, n).flops
+
+
+def test_detect_chip_returns_spec():
+    spec = profiling.detect_chip()
+    assert spec.bf16_tflops > 0 and spec.hbm_gbps > 0
