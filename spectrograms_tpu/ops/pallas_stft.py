@@ -1,0 +1,258 @@
+"""Fused Pallas spectrogram kernel: framing → windowed DFT → |·|² → filterbank
+→ amplitude scaling, all in VMEM.
+
+The XLA matmul path (``ops/dft.py``) materializes the (n_frames, n_fft) frame
+matrix in HBM — with 75 % frame overlap that is 4× the signal, written then
+read twice, and it measures as roughly half the pipeline's runtime. This
+kernel never materializes frames: each grid step DMAs only its signal span
+(hop-strided rows) into VMEM, assembles the frame tile with static slices,
+and keeps every intermediate (frames, re/im, power, features) on-chip. HBM
+traffic drops to signal-in + features-out + one read of the DFT matrices.
+
+Precision modes for the MXU dots (TPU matmuls are bf16-native):
+
+- ``"bf16"``   — one pass; fastest, |error| ≲ 0.3 dB. For ML feature pipelines.
+- ``"bf16x3"`` — three passes via the hi/lo split  a·b ≈ aₕbₕ + aₕbₗ + aₗbₕ
+  (the scheme behind ``jax.lax.Precision.HIGH``), |error| ≲ 0.002 dB.
+
+Reference hot loop being replaced: per-frame window-multiply + r2c FFT + SpMV
+(``/root/reference/src/spectrogram.rs:255-288, 1309-1332``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import InvalidInputError
+
+__all__ = ["fused_spectrogram", "supports_pallas_fusion", "PALLAS_TILE_FRAMES"]
+
+PALLAS_TILE_FRAMES = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def supports_pallas_fusion(n_fft: int, hop: int, dtype) -> bool:
+    """The fused kernel needs hop | n_fft, f32, and MXU-friendly sizes."""
+    return (
+        np.dtype(dtype) == np.float32
+        and n_fft % hop == 0
+        and n_fft >= hop
+        and hop % 128 == 0
+        and n_fft <= 4096
+    )
+
+
+def _split_bf16(a: np.ndarray):
+    """f32 → (hi, lo) bf16 pair with a ≈ hi + lo."""
+    a32 = a.astype(np.float32)
+    hi = a32.astype(jnp.bfloat16)
+    lo = (a32 - np.asarray(hi, dtype=np.float32)).astype(jnp.bfloat16)
+    return np.asarray(hi), np.asarray(lo)
+
+
+def _kernel(
+    x_ref,          # (B, cols, hop) in HBM/ANY
+    cs_hi_ref,      # (n_fft, 2*nb_pad) bf16 VMEM
+    cs_lo_ref,      # (n_fft, 2*nb_pad) bf16 VMEM (zeros in bf16 mode)
+    map_ref,        # (nb_pad, n_out_pad) f32 VMEM (identity-or-filterbank)
+    out_ref,        # (1, TILE_F, n_out_pad) f32 VMEM block
+    sig_ref,        # scratch (rows, hop) f32 VMEM
+    sem,            # DMA semaphore
+    *,
+    tile_f: int,
+    k: int,
+    nb_pad: int,
+    amp: str,
+    floor_db: float,
+    x3: bool,
+    apply_map: bool,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    rows = tile_f + k - 1
+    dma = pltpu.make_async_copy(
+        x_ref.at[b, pl.ds(i * tile_f, rows), :],
+        sig_ref,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    # Frame tile (tile_f, n_fft) from k shifted row-blocks of the hop-strided
+    # signal: frame f, tap block j covers samples (f+j)*hop .. (f+j+1)*hop.
+    base = sig_ref[:]
+    frames = jnp.concatenate(
+        [base[j : j + tile_f, :] for j in range(k)], axis=1
+    )  # (tile_f, n_fft)
+
+    fr_hi = frames.astype(jnp.bfloat16)
+    y = jnp.dot(fr_hi, cs_hi_ref[:], preferred_element_type=jnp.float32)
+    if x3:
+        fr_lo = (frames - fr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        y = y + jnp.dot(fr_hi, cs_lo_ref[:], preferred_element_type=jnp.float32)
+        y = y + jnp.dot(fr_lo, cs_hi_ref[:], preferred_element_type=jnp.float32)
+
+    re = y[:, :nb_pad]
+    im = y[:, nb_pad:]
+    power = re * re + im * im  # (tile_f, nb_pad)
+
+    if apply_map:
+        mapped = jnp.dot(power, map_ref[:], preferred_element_type=jnp.float32)
+    else:
+        mapped = power
+
+    if amp == "magnitude":
+        mapped = jnp.sqrt(mapped)
+    elif amp == "decibels":
+        eps = 10.0 ** (floor_db / 10.0)
+        mapped = 10.0 * jnp.log10(jnp.maximum(mapped, eps))
+
+    out_ref[0, :, :] = mapped
+
+
+# Imported lazily so the module imports even where pallas is unavailable.
+try:  # pragma: no cover - import guard
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+
+@functools.lru_cache(maxsize=32)
+def fused_spectrogram(
+    n_fft: int,
+    hop: int,
+    window_key,                 # tuple(f64 window) or None
+    mapping_key,                # tuple-of-tuples f64 filterbank (n_out, n_bins) or None
+    amp: str = "power",         # power | magnitude | decibels
+    floor_db: float = -80.0,
+    precision: str = "bf16x3",  # bf16 | bf16x3
+    centre: bool = True,
+    tile_frames: int = PALLAS_TILE_FRAMES,
+    interpret: bool = False,
+):
+    """Build the fused jitted program: (B, n_samples) f32 → (B, n_out, n_frames).
+
+    Constants (windowed DFT matrices, filterbank) are folded in at build time;
+    the returned callable jit-caches on the signal shape.
+    """
+    if not _PALLAS_OK:
+        raise InvalidInputError("pallas is unavailable in this environment")
+    if not supports_pallas_fusion(n_fft, hop, np.float32):
+        raise InvalidInputError(
+            f"fused kernel requires hop | n_fft, hop % 128 == 0, n_fft <= 4096; "
+            f"got n_fft={n_fft}, hop={hop}"
+        )
+    if amp not in ("power", "magnitude", "decibels"):
+        raise InvalidInputError(f"unknown amp {amp!r}")
+    if precision not in ("bf16", "bf16x3"):
+        raise InvalidInputError(f"unknown precision {precision!r}")
+
+    k = n_fft // hop
+    n_bins = n_fft // 2 + 1
+    nb_pad = _round_up(n_bins, 128)
+
+    # Windowed DFT matrices, f64 build → f32 → bf16 hi/lo split.
+    j = np.arange(n_fft, dtype=np.float64)[:, None]
+    kk = np.arange(n_bins, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * j * kk / n_fft
+    cos = np.cos(ang)
+    msin = -np.sin(ang)
+    if window_key is not None:
+        w = np.asarray(window_key, dtype=np.float64)[:, None]
+        cos = cos * w
+        msin = msin * w
+    cs = np.zeros((n_fft, 2 * nb_pad), dtype=np.float32)
+    cs[:, :n_bins] = cos.astype(np.float32)
+    cs[:, nb_pad : nb_pad + n_bins] = msin.astype(np.float32)
+    cs_hi, cs_lo = _split_bf16(cs)
+    if precision == "bf16":
+        cs_lo = np.zeros_like(cs_lo)
+
+    # Filterbank (n_out, n_bins) → padded (nb_pad, n_out_pad), or identity.
+    if mapping_key is not None:
+        fb = np.asarray(mapping_key, dtype=np.float64)
+        n_out = fb.shape[0]
+        n_out_pad = _round_up(n_out, 128)
+        map_mat = np.zeros((nb_pad, n_out_pad), dtype=np.float32)
+        map_mat[: fb.shape[1], :n_out] = fb.T.astype(np.float32)
+        apply_map = True
+    else:
+        n_out = n_bins
+        n_out_pad = nb_pad
+        map_mat = np.zeros((nb_pad, n_out_pad), dtype=np.float32)
+        apply_map = False
+
+    cs_hi_j = jnp.asarray(cs_hi)
+    cs_lo_j = jnp.asarray(cs_lo)
+    map_j = jnp.asarray(map_mat)
+    tile_f = int(tile_frames)
+    x3 = precision == "bf16x3"
+
+    kern = functools.partial(
+        _kernel,
+        tile_f=tile_f,
+        k=k,
+        nb_pad=nb_pad,
+        amp=amp,
+        floor_db=float(floor_db),
+        x3=x3,
+        apply_map=apply_map,
+    )
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(x):
+        if x.ndim == 1:
+            return run(x[None, :])[0]
+        B, n = x.shape
+        pad = n_fft // 2 if centre else 0
+        padded_len = n + 2 * pad
+        nf = 1 if padded_len < n_fft else (padded_len - n_fft) // hop + 1
+        nt = -(-nf // tile_f)
+        # Pad so every tile's DMA (nt*tile_f + k - 1 rows of hop) is in bounds.
+        rows_needed = nt * tile_f + k - 1
+        total = rows_needed * hop
+        xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad, total - n - pad)))
+        xr = xp.reshape(B, rows_needed, hop)
+
+        grid = (B, nt)
+        out = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (n_fft, 2 * nb_pad), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (n_fft, 2 * nb_pad), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (nb_pad, n_out_pad), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile_f, n_out_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, nt * tile_f, n_out_pad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((tile_f + k - 1, hop), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(xr, cs_hi_j, cs_lo_j, map_j)
+        # (B, nt*tile_f, n_out_pad) → (B, n_out, nf)
+        return out[:, :nf, :n_out].transpose(0, 2, 1)
+
+    return run
