@@ -200,6 +200,14 @@ class _BinauralResult:
         arr = np.asarray(self.data)
         return arr.astype(dtype) if dtype is not None else arr
 
+    def __dlpack__(self, stream=None):
+        """DLPack export (zero-copy; parity with the reference's manual
+        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs)."""
+        return self.data.__dlpack__(stream=stream) if stream is not None else self.data.__dlpack__()
+
+    def __dlpack_device__(self):
+        return self.data.__dlpack_device__()
+
 
 class ItdSpectrogram(_BinauralResult):
     """ITD values in seconds, (n_bins, n_frames)."""

@@ -64,6 +64,14 @@ class Chromagram:
         arr = np.asarray(self.data)
         return arr.astype(dtype) if dtype is not None else arr
 
+    def __dlpack__(self, stream=None):
+        """DLPack export (zero-copy; parity with the reference's manual
+        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs)."""
+        return self.data.__dlpack__(stream=stream) if stream is not None else self.data.__dlpack__()
+
+    def __dlpack_device__(self):
+        return self.data.__dlpack_device__()
+
 
 def apply_chroma_normalization(chroma_t, norm: ChromaNorm):
     """Per-frame normalization on (…, n_frames?, 12)-last-axis layout.

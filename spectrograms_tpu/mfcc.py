@@ -77,6 +77,14 @@ class Mfcc:
         arr = np.asarray(self.data)
         return arr.astype(dtype) if dtype is not None else arr
 
+    def __dlpack__(self, stream=None):
+        """DLPack export (zero-copy; parity with the reference's manual
+        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs)."""
+        return self.data.__dlpack__(stream=stream) if stream is not None else self.data.__dlpack__()
+
+    def __dlpack_device__(self):
+        return self.data.__dlpack_device__()
+
 
 def _mfcc_core(log_mel_t, basis, include_c0: bool, n_mfcc: int):
     """(n_frames, n_mels) log-mel → (n_frames, n_out) MFCC (lifter folded)."""

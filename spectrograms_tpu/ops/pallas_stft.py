@@ -64,11 +64,12 @@ def _kernel(
     cs_lo_ref,      # (n_fft, 2*nb_pad) bf16 VMEM (zeros in bf16 mode)
     map_ref,        # (nb_pad, n_out_pad) f32 VMEM (identity-or-filterbank)
     out_ref,        # (1, TILE_F, n_out_pad) f32 VMEM block
-    sig_ref,        # scratch (rows, hop) f32 VMEM
-    sem,            # DMA semaphore
+    frames_ref,     # scratch (TILE_F, n_fft) f32 VMEM
+    sems,           # DMA semaphore array (k,)
     *,
     tile_f: int,
     k: int,
+    hop: int,
     nb_pad: int,
     amp: str,
     floor_db: float,
@@ -78,21 +79,23 @@ def _kernel(
     b = pl.program_id(0)
     i = pl.program_id(1)
 
-    rows = tile_f + k - 1
-    dma = pltpu.make_async_copy(
-        x_ref.at[b, pl.ds(i * tile_f, rows), :],
-        sig_ref,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    # Assemble the frame tile with k strided DMAs straight from HBM: frame f,
+    # tap block j covers samples (f+j)·hop .. (f+j+1)·hop of the signal, i.e.
+    # rows i·tile_f+j .. +tile_f of the hop-strided view → column block j.
+    for j in range(k):
+        pltpu.make_async_copy(
+            x_ref.at[b, pl.ds(i * tile_f + j, tile_f), :],
+            frames_ref.at[:, pl.ds(j * hop, hop)],
+            sems.at[j],
+        ).start()
+    for j in range(k):
+        pltpu.make_async_copy(
+            x_ref.at[b, pl.ds(i * tile_f + j, tile_f), :],
+            frames_ref.at[:, pl.ds(j * hop, hop)],
+            sems.at[j],
+        ).wait()
 
-    # Frame tile (tile_f, n_fft) from k shifted row-blocks of the hop-strided
-    # signal: frame f, tap block j covers samples (f+j)*hop .. (f+j+1)*hop.
-    base = sig_ref[:]
-    frames = jnp.concatenate(
-        [base[j : j + tile_f, :] for j in range(k)], axis=1
-    )  # (tile_f, n_fft)
+    frames = frames_ref[:]  # (tile_f, n_fft)
 
     fr_hi = frames.astype(jnp.bfloat16)
     y = jnp.dot(fr_hi, cs_hi_ref[:], preferred_element_type=jnp.float32)
@@ -204,6 +207,7 @@ def fused_spectrogram(
         _kernel,
         tile_f=tile_f,
         k=k,
+        hop=hop,
         nb_pad=nb_pad,
         amp=amp,
         floor_db=float(floor_db),
@@ -247,8 +251,8 @@ def fused_spectrogram(
             ),
             out_shape=jax.ShapeDtypeStruct((B, nt * tile_f, n_out_pad), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((tile_f + k - 1, hop), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((tile_f, n_fft), jnp.float32),
+                pltpu.SemaphoreType.DMA((k,)),
             ],
             interpret=interpret,
         )(xr, cs_hi_j, cs_lo_j, map_j)

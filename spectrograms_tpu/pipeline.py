@@ -141,6 +141,14 @@ class Spectrogram:
         arr = np.asarray(self.data)
         return arr.astype(dtype) if dtype is not None else arr
 
+    def __dlpack__(self, stream=None):
+        """DLPack export (zero-copy; parity with the reference's manual
+        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs)."""
+        return self.data.__dlpack__(stream=stream) if stream is not None else self.data.__dlpack__()
+
+    def __dlpack_device__(self):
+        return self.data.__dlpack_device__()
+
     def block_until_ready(self) -> "Spectrogram":
         self.data.block_until_ready()
         return self
@@ -176,6 +184,14 @@ class StftResult:
     def __array__(self, dtype=None):
         arr = np.asarray(self.data)
         return arr.astype(dtype) if dtype is not None else arr
+
+    def __dlpack__(self, stream=None):
+        """DLPack export (zero-copy; parity with the reference's manual
+        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs)."""
+        return self.data.__dlpack__(stream=stream) if stream is not None else self.data.__dlpack__()
+
+    def __dlpack_device__(self):
+        return self.data.__dlpack_device__()
 
 
 def _resolve_method(method: str, n_fft: int, dtype) -> str:
