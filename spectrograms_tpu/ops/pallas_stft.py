@@ -59,13 +59,11 @@ def _split_bf16(a: np.ndarray):
 
 
 def _kernel(
-    x_ref,          # (B, cols, hop) in HBM/ANY
+    x_ref,          # (1, rows, hop) f32 VMEM block (whole signal of one item)
     cs_hi_ref,      # (n_fft, 2*nb_pad) bf16 VMEM
     cs_lo_ref,      # (n_fft, 2*nb_pad) bf16 VMEM (zeros in bf16 mode)
     map_ref,        # (nb_pad, n_out_pad) f32 VMEM (identity-or-filterbank)
     out_ref,        # (1, TILE_F, n_out_pad) f32 VMEM block
-    frames_ref,     # scratch (TILE_F, n_fft) f32 VMEM
-    sems,           # DMA semaphore array (k,)
     *,
     tile_f: int,
     k: int,
@@ -76,33 +74,24 @@ def _kernel(
     x3: bool,
     apply_map: bool,
 ):
-    b = pl.program_id(0)
     i = pl.program_id(1)
+    base = pl.multiple_of(i * tile_f, tile_f)
+    x2 = x_ref.at[0]  # 2-D view — Mosaic only lowers dynamic slices in 2-D
 
-    # Assemble the frame tile with k strided DMAs straight from HBM: frame f,
-    # tap block j covers samples (f+j)·hop .. (f+j+1)·hop of the signal, i.e.
-    # rows i·tile_f+j .. +tile_f of the hop-strided view → column block j.
+    # Frames never materialize: frame f = [blk_0[f] | … | blk_{k-1}[f]] where
+    # blk_j = hop-strided rows base+j .. base+j+tile_f, so
+    #   frames @ CS = Σ_j blk_j @ CS[j·hop:(j+1)·hop]   (k accumulated MXU dots)
+    y = jnp.zeros((tile_f, 2 * nb_pad), dtype=jnp.float32)
     for j in range(k):
-        pltpu.make_async_copy(
-            x_ref.at[b, pl.ds(i * tile_f + j, tile_f), :],
-            frames_ref.at[:, pl.ds(j * hop, hop)],
-            sems.at[j],
-        ).start()
-    for j in range(k):
-        pltpu.make_async_copy(
-            x_ref.at[b, pl.ds(i * tile_f + j, tile_f), :],
-            frames_ref.at[:, pl.ds(j * hop, hop)],
-            sems.at[j],
-        ).wait()
-
-    frames = frames_ref[:]  # (tile_f, n_fft)
-
-    fr_hi = frames.astype(jnp.bfloat16)
-    y = jnp.dot(fr_hi, cs_hi_ref[:], preferred_element_type=jnp.float32)
-    if x3:
-        fr_lo = (frames - fr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        y = y + jnp.dot(fr_hi, cs_lo_ref[:], preferred_element_type=jnp.float32)
-        y = y + jnp.dot(fr_lo, cs_hi_ref[:], preferred_element_type=jnp.float32)
+        blk = x2[pl.ds(base + j, tile_f), :]             # (tile_f, hop)
+        cs_h = cs_hi_ref[j * hop : (j + 1) * hop, :]
+        b_hi = blk.astype(jnp.bfloat16)
+        y = y + jnp.dot(b_hi, cs_h, preferred_element_type=jnp.float32)
+        if x3:
+            cs_l = cs_lo_ref[j * hop : (j + 1) * hop, :]
+            b_lo = (blk - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            y = y + jnp.dot(b_hi, cs_l, preferred_element_type=jnp.float32)
+            y = y + jnp.dot(b_lo, cs_h, preferred_element_type=jnp.float32)
 
     re = y[:, :nb_pad]
     im = y[:, nb_pad:]
@@ -227,6 +216,14 @@ def fused_spectrogram(
         # Pad so every tile's DMA (nt*tile_f + k - 1 rows of hop) is in bounds.
         rows_needed = nt * tile_f + k - 1
         total = rows_needed * hop
+        if total * 4 > 6 * 1024 * 1024:
+            # The per-item signal block must fit VMEM next to the DFT
+            # matrices; longer signals use the XLA path (or shard the time
+            # axis first — spectrograms_tpu.parallel.sequence).
+            raise InvalidInputError(
+                f"signal too long for the fused kernel ({n} samples); "
+                "use method='matmul' or sequence-parallel sharding"
+            )
         xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad, total - n - pad)))
         xr = xp.reshape(B, rows_needed, hop)
 
@@ -235,7 +232,14 @@ def fused_spectrogram(
             kern,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                # One item's whole hop-strided signal per b; the index map
+                # depends only on b, so Mosaic loads it once per item and
+                # reuses it across that item's frame tiles.
+                pl.BlockSpec(
+                    (1, rows_needed, hop),
+                    lambda b, i: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
                 pl.BlockSpec(
                     (n_fft, 2 * nb_pad), lambda b, i: (0, 0), memory_space=pltpu.VMEM
                 ),
@@ -250,10 +254,6 @@ def fused_spectrogram(
                 (1, tile_f, n_out_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((B, nt * tile_f, n_out_pad), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((tile_f, n_fft), jnp.float32),
-                pltpu.SemaphoreType.DMA((k,)),
-            ],
             interpret=interpret,
         )(xr, cs_hi_j, cs_lo_j, map_j)
         # (B, nt*tile_f, n_out_pad) → (B, n_out, nf)
