@@ -59,11 +59,14 @@ def _split_bf16(a: np.ndarray):
 
 
 def _kernel(
-    x_ref,          # (1, rows, hop) f32 VMEM block (whole signal of one item)
+    xa_ref,         # (1, tile_f, hop) f32 VMEM — hop-strided rows of tile i
+    xb_ref,         # (1, tile_f, hop) f32 VMEM — rows of tile i+1 (halo)
     cs_hi_ref,      # (n_fft, 2*nb_pad) bf16 VMEM
     cs_lo_ref,      # (n_fft, 2*nb_pad) bf16 VMEM (zeros in bf16 mode)
     map_ref,        # (nb_pad, n_out_pad) f32 VMEM (identity-or-filterbank)
     out_ref,        # (1, TILE_F, n_out_pad) f32 VMEM block
+    fr_ref,         # scratch (TILE_F, n_fft) bf16 VMEM — frame tile, hi part
+    fr_lo_ref,      # scratch (TILE_F, n_fft) bf16 VMEM — lo part (x3 only)
     *,
     tile_f: int,
     k: int,
@@ -74,24 +77,24 @@ def _kernel(
     x3: bool,
     apply_map: bool,
 ):
-    i = pl.program_id(1)
-    base = pl.multiple_of(i * tile_f, tile_f)
-    x2 = x_ref.at[0]  # 2-D view — Mosaic only lowers dynamic slices in 2-D
-
-    # Frames never materialize: frame f = [blk_0[f] | … | blk_{k-1}[f]] where
-    # blk_j = hop-strided rows base+j .. base+j+tile_f, so
-    #   frames @ CS = Σ_j blk_j @ CS[j·hop:(j+1)·hop]   (k accumulated MXU dots)
-    y = jnp.zeros((tile_f, 2 * nb_pad), dtype=jnp.float32)
+    # The k-1 halo rows come from the neighbouring tile's block; everything
+    # below is static slicing/stores (Mosaic rejects large dynamic-offset
+    # loads). Frames exist only as a VMEM scratch tile, never in HBM.
+    full = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)  # (2·tile_f, hop)
     for j in range(k):
-        blk = x2[pl.ds(base + j, tile_f), :]             # (tile_f, hop)
-        cs_h = cs_hi_ref[j * hop : (j + 1) * hop, :]
+        blk = full[j : j + tile_f, :]                    # (tile_f, hop)
         b_hi = blk.astype(jnp.bfloat16)
-        y = y + jnp.dot(b_hi, cs_h, preferred_element_type=jnp.float32)
+        fr_ref[:, j * hop : (j + 1) * hop] = b_hi
         if x3:
-            cs_l = cs_lo_ref[j * hop : (j + 1) * hop, :]
-            b_lo = (blk - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            y = y + jnp.dot(b_hi, cs_l, preferred_element_type=jnp.float32)
-            y = y + jnp.dot(b_lo, cs_h, preferred_element_type=jnp.float32)
+            fr_lo_ref[:, j * hop : (j + 1) * hop] = (
+                blk - b_hi.astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+
+    # One full-K MXU dot per precision term.
+    y = jnp.dot(fr_ref[:], cs_hi_ref[:], preferred_element_type=jnp.float32)
+    if x3:
+        y = y + jnp.dot(fr_ref[:], cs_lo_ref[:], preferred_element_type=jnp.float32)
+        y = y + jnp.dot(fr_lo_ref[:], cs_hi_ref[:], preferred_element_type=jnp.float32)
 
     re = y[:, :nb_pad]
     im = y[:, nb_pad:]
@@ -214,16 +217,9 @@ def fused_spectrogram(
         nf = 1 if padded_len < n_fft else (padded_len - n_fft) // hop + 1
         nt = -(-nf // tile_f)
         # Pad so every tile's DMA (nt*tile_f + k - 1 rows of hop) is in bounds.
-        rows_needed = nt * tile_f + k - 1
+        # One extra tile of rows so the i+1 halo block always exists.
+        rows_needed = (nt + 1) * tile_f
         total = rows_needed * hop
-        if total * 4 > 6 * 1024 * 1024:
-            # The per-item signal block must fit VMEM next to the DFT
-            # matrices; longer signals use the XLA path (or shard the time
-            # axis first — spectrograms_tpu.parallel.sequence).
-            raise InvalidInputError(
-                f"signal too long for the fused kernel ({n} samples); "
-                "use method='matmul' or sequence-parallel sharding"
-            )
         xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad, total - n - pad)))
         xr = xp.reshape(B, rows_needed, hop)
 
@@ -232,12 +228,14 @@ def fused_spectrogram(
             kern,
             grid=grid,
             in_specs=[
-                # One item's whole hop-strided signal per b; the index map
-                # depends only on b, so Mosaic loads it once per item and
-                # reuses it across that item's frame tiles.
+                # Tile i's hop-strided rows + tile i+1 as the overlap halo —
+                # two aligned views of the same array.
                 pl.BlockSpec(
-                    (1, rows_needed, hop),
-                    lambda b, i: (b, 0, 0),
+                    (1, tile_f, hop), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, tile_f, hop),
+                    lambda b, i: (b, i + 1, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -254,8 +252,12 @@ def fused_spectrogram(
                 (1, tile_f, n_out_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((B, nt * tile_f, n_out_pad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((tile_f, n_fft), jnp.bfloat16),
+                pltpu.VMEM((tile_f, n_fft), jnp.bfloat16),
+            ],
             interpret=interpret,
-        )(xr, cs_hi_j, cs_lo_j, map_j)
+        )(xr, xr, cs_hi_j, cs_lo_j, map_j)
         # (B, nt*tile_f, n_out_pad) → (B, n_out, nf)
         return out[:, :nf, :n_out].transpose(0, 2, 1)
 

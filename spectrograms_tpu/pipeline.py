@@ -195,13 +195,20 @@ class StftResult:
 
 
 def _resolve_method(method: str, n_fft: int, dtype) -> str:
-    if method not in ("auto", "matmul", "fft"):
-        raise InvalidInputError(f"unknown method {method!r}; expected auto/matmul/fft")
+    if method not in ("auto", "matmul", "fft", "pallas"):
+        raise InvalidInputError(
+            f"unknown method {method!r}; expected auto/matmul/fft/pallas"
+        )
     if method == "auto":
         if np.dtype(dtype) == np.float64 or n_fft > MATMUL_MAX_N_FFT:
             return "fft"
         return "matmul"
     return method
+
+
+# f32 matmuls default to HIGH (bf16x3 MXU passes, ≲2e-3 dB vs HIGHEST at ~2×
+# the throughput — measured on v5e). f64 always verifies at HIGHEST.
+_DEFAULT_F32_PRECISION = jax.lax.Precision.HIGH
 
 
 class SpectrogramPlan:
@@ -224,7 +231,7 @@ class SpectrogramPlan:
         log_params: Optional[LogParams] = None,
         dtype=None,
         method: str = "auto",
-        precision=jax.lax.Precision.HIGHEST,
+        precision=None,
     ):
         self.params = params
         self.freq_scale = freq_scale
@@ -233,6 +240,12 @@ class SpectrogramPlan:
         self.log_params = log_params
         self._dtype = parse_dtype(dtype)
         ensure_x64(self._dtype)
+        if precision is None:
+            precision = (
+                jax.lax.Precision.HIGHEST
+                if np.dtype(self._dtype) == np.float64
+                else _DEFAULT_F32_PRECISION
+            )
         self.precision = precision
 
         stft_p = params.stft
@@ -286,7 +299,7 @@ class SpectrogramPlan:
             len(self.frequencies)
         )
 
-        if self.method == "matmul" and freq_scale != FreqScale.CQT:
+        if self.method in ("matmul", "pallas") and freq_scale != FreqScale.CQT:
             c, s = rdft_matrices(n_fft, window64, self._dtype)
             self._dft_c, self._dft_s = c, s
 
@@ -295,9 +308,39 @@ class SpectrogramPlan:
             self._floor_db = -80.0
 
         self._n_fft, self._hop, self._centre = n_fft, hop, stft_p.centre
-        self._forward = jax.jit(self._forward_impl)
-        self._forward_frames = jax.jit(self._frames_to_bins)
-        self._forward_batch = jax.jit(jax.vmap(self._forward_impl))
+
+        if self.method == "pallas":
+            from .ops.pallas_stft import fused_spectrogram, supports_pallas_fusion
+
+            if freq_scale == FreqScale.CQT:
+                raise InvalidInputError("method='pallas' does not cover CQT plans")
+            if not supports_pallas_fusion(n_fft, hop, self._dtype):
+                raise InvalidInputError(
+                    "method='pallas' requires float32, hop | n_fft, hop % 128 == 0 "
+                    f"and n_fft <= 4096 (got n_fft={n_fft}, hop={hop})"
+                )
+            pallas_precision = (
+                "bf16" if self.precision == jax.lax.Precision.DEFAULT else "bf16x3"
+            )
+            self._pallas_run = fused_spectrogram(
+                n_fft,
+                hop,
+                tuple(window64.tolist()),
+                None if mapping is None else tuple(map(tuple, mapping.tolist())),
+                amp=amp_scale.value,
+                floor_db=self._floor_db if self._floor_db is not None else -80.0,
+                precision=pallas_precision,
+                centre=stft_p.centre,
+                interpret=jax.default_backend() == "cpu",
+            )
+            # The fused kernel frames internally and handles (n,) and (B, n).
+            self._forward = self._pallas_run
+            self._forward_batch = self._pallas_run
+            self._forward_frames = jax.jit(self._frames_to_bins)
+        else:
+            self._forward = jax.jit(self._forward_impl)
+            self._forward_frames = jax.jit(self._frames_to_bins)
+            self._forward_batch = jax.jit(jax.vmap(self._forward_impl))
 
     # ---- core math ------------------------------------------------------
     def _frames_to_bins(self, frames):
@@ -309,7 +352,7 @@ class SpectrogramPlan:
             im = jnp.matmul(frames, self._cqt_im, precision=self.precision)
             mapped = re * re + im * im
         else:
-            if self.method == "matmul":
+            if self.method in ("matmul", "pallas"):
                 re = jnp.matmul(frames, self._dft_c, precision=self.precision)
                 im = jnp.matmul(frames, self._dft_s, precision=self.precision)
                 power = re * re + im * im
