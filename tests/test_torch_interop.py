@@ -72,3 +72,17 @@ def test_stft_result_and_mfcc_to_torch():
     )
     tm = m.to_torch()
     assert tm.shape == tuple(m.data.shape)
+
+
+def test_jax_convenience_module():
+    import spectrograms_tpu.jax as sgj
+
+    spec = _spec()
+    arr = spec.to_jax()
+    np.testing.assert_array_equal(np.asarray(arr), np.asarray(spec.data))
+    wrapped = spec.to_jax(with_metadata=True)
+    assert isinstance(wrapped, sgj.JaxSpectrogram)
+    assert wrapped.shape == spec.shape
+    assert wrapped.db_range == spec.db_range()
+    stacked = sgj.batch([spec, spec])
+    assert stacked.shape == (2,) + spec.shape
