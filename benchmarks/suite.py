@@ -1,0 +1,237 @@
+"""Full benchmark suite: the five BASELINE.json configs, slope-timed.
+
+Each config prints one JSON line; a summary dict is written to
+``benchmarks/results.json``. Run on the TPU (default backend) or with
+``JAX_PLATFORMS=cpu`` for a host-side smoke.
+
+Protocol: K chained iterations inside one jit with a written-sample data
+dependency (see bench.py); per-iteration time = (T(K2)−T(K1))/(K2−K1),
+best-of-REPS. f64 runs on the CPU backend (TPU f64 is unsupported) and is
+reported as such.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+K1, K2, REPS = 1, 9, 5
+
+
+def _slope_time(make_chained, arg):
+    import jax
+
+    def timed(f):
+        float(f(arg))
+        best = 1e9
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            float(f(arg))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(jax.jit(make_chained(K1)))
+    t2 = timed(jax.jit(make_chained(K2)))
+    return (t2 - t1) / (K2 - K1)
+
+
+def _chain(step):
+    """step: (x) -> array. Returns k-chained scalar-checksum builder."""
+    import jax.numpy as jnp
+
+    def make(k):
+        def f(x):
+            acc = jnp.float32(0.0) if x.dtype == jnp.float32 else jnp.float64(0.0)
+            for _ in range(k):
+                if x.ndim == 2:
+                    acc = acc + jnp.sum(step(x.at[:, 0].set(acc.astype(x.dtype))))
+                else:
+                    acc = acc + jnp.sum(step(x.at[0].set(acc.astype(x.dtype))))
+            return acc
+        return f
+
+    return make
+
+
+def config1_linear_power_f64():
+    """1 s 440 Hz sine @16 kHz, n_fft=256 hop=128 Hanning, f64 (CPU backend)."""
+    import jax
+
+    import spectrograms_tpu as sg
+
+    sr = 16000
+    x = np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+    params = sg.SpectrogramParams(sg.StftParams(256, 128), float(sr))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        plan = sg.LinearPowerPlan(params, dtype="float64")
+        xd = jax.device_put(jax.numpy.asarray(x, dtype=jax.numpy.float64), cpu)
+        step = plan._forward_impl
+        dt = _slope_time(_chain(step), xd)
+    return {
+        "config": "1: linear power f64 1s sine (n_fft=256 hop=128) [cpu backend]",
+        "value": round(dt * 1e3, 4),
+        "unit": "ms/signal",
+        "audio_s_per_s": round(1.0 / dt, 1),
+    }
+
+
+def config2_mel_db_batch():
+    """128-mel power+dB, n_fft=1024 hop=256, batch 32 × 10 s, f32."""
+    import jax
+    import jax.numpy as jnp
+
+    import spectrograms_tpu as sg
+
+    sr = 16000
+    batch = np.random.default_rng(0).standard_normal((32, sr * 10)).astype(np.float32)
+    params = sg.SpectrogramParams(sg.StftParams(1024, 256), float(sr))
+    mel = sg.MelParams(128, 0.0, 8000.0, sg.MelNorm.SLANEY)
+    plan = sg.MelDbPlan(params, mel, sg.LogParams(-80.0), dtype="float32")
+    step = jax.vmap(plan._forward_impl)
+    dt = _slope_time(_chain(step), jax.device_put(jnp.asarray(batch)))
+    return {
+        "config": "2: mel128+dB batch 32x10s f32",
+        "value": round(dt * 1e3, 4),
+        "unit": "ms/batch",
+        "audio_s_per_s": round(320.0 / dt, 1),
+    }
+
+
+def config3_mfcc_delta():
+    """MFCC-40 + delta on 16 kHz utterance batch."""
+    import jax
+    import jax.numpy as jnp
+
+    import spectrograms_tpu as sg
+    from spectrograms_tpu.mfcc import MfccPlan
+
+    sr = 16000
+    batch = np.random.default_rng(1).standard_normal((32, sr * 10)).astype(np.float32)
+    plan = MfccPlan(
+        sg.StftParams(1024, 256),
+        float(sr),
+        mel_params=sg.MelParams(128, 0.0, 8000.0, sg.MelNorm.SLANEY),
+        mfcc_params=sg.MfccParams(40),
+        dtype="float32",
+    )
+    fwd = plan._forward_batch.__wrapped__
+
+    def step(xb):
+        m = fwd(xb)
+        return jnp.concatenate([m, sg.delta(m)], axis=1)
+
+    dt = _slope_time(_chain(step), jax.device_put(jnp.asarray(batch)))
+    return {
+        "config": "3: MFCC-40+delta batch 32x10s f32",
+        "value": round(dt * 1e3, 4),
+        "unit": "ms/batch",
+        "audio_s_per_s": round(320.0 / dt, 1),
+    }
+
+
+def config4_cqt_chroma_mdct():
+    """CQT-84 + chromagram + MDCT/IMDCT round-trip, 44.1 kHz music clip."""
+    import jax
+    import jax.numpy as jnp
+
+    import spectrograms_tpu as sg
+    from spectrograms_tpu.mdct import _basis_for
+
+    sr = 44100
+    x = np.random.default_rng(2).standard_normal(sr * 5).astype(np.float32)
+    params = sg.SpectrogramParams(sg.StftParams(4096, 1024), float(sr))
+    cqt = sg.CqtParams(12, 7, 32.703)  # 84 bins from C1
+    cqt_plan = sg.CqtPowerPlan(params, cqt, dtype="float32")
+    from spectrograms_tpu.chroma import ChromaPlan
+
+    chroma_plan = ChromaPlan(params.stft, float(sr), dtype="float32")
+    mdct_params = sg.MdctParams.sine_window(512)
+
+    def step(sig):
+        a = cqt_plan._forward_impl(sig)
+        b = chroma_plan._forward(sig)
+        c = sg.mdct(sig, mdct_params, dtype="float32")
+        back = sg.imdct(c, mdct_params, original_length=sig.shape[0])
+        return (
+            jnp.sum(a) + jnp.sum(b) + jnp.sum(back)
+        ) * jnp.ones((1,), jnp.float32)
+
+    dt = _slope_time(_chain(step), jax.device_put(jnp.asarray(x)))
+    return {
+        "config": "4: CQT-84 + chroma + MDCT roundtrip 5s@44.1kHz f32",
+        "value": round(dt * 1e3, 4),
+        "unit": "ms/clip",
+        "audio_s_per_s": round(5.0 / dt, 1),
+    }
+
+
+def config5_streaming_image():
+    """Streaming STFT block step + 512×512 image blur + edge-detect."""
+    import jax
+    import jax.numpy as jnp
+
+    import spectrograms_tpu as sg
+
+    sr = 16000
+    params = sg.SpectrogramParams(sg.StftParams(512, 128, centre=False), float(sr))
+    mel = sg.MelParams(64, 0.0, 8000.0, sg.MelNorm.SLANEY)
+    plan = sg.MelDbPlan(params, mel, sg.LogParams(-80.0), dtype="float32")
+    frames_per_block = 64
+    frames = np.random.default_rng(3).standard_normal(
+        (frames_per_block, 512)
+    ).astype(np.float32)
+    img = np.random.default_rng(4).standard_normal((512, 512)).astype(np.float32)
+    kernel = np.asarray(sg.gaussian_kernel_2d(9, 2.0), dtype=np.float32)
+    block_fn = plan._forward_frames.__wrapped__ if hasattr(plan._forward_frames, "__wrapped__") else plan._frames_to_bins
+
+    imgd = jax.device_put(jnp.asarray(img))
+    kd = jax.device_put(jnp.asarray(kernel))
+
+    def step(fr):
+        feats = block_fn(fr)
+        blurred = sg.convolve_fft(imgd + jnp.sum(feats) * 1e-30, kd)
+        edges = sg.detect_edges_fft(blurred)
+        return jnp.sum(feats) + jnp.sum(edges) * jnp.ones((1,), jnp.float32)
+
+    dt = _slope_time(_chain(step), jax.device_put(jnp.asarray(frames)))
+    block_audio = frames_per_block * 128 / sr
+    return {
+        "config": "5: streaming 64-frame block + 512x512 blur+edges f32",
+        "value": round(dt * 1e3, 4),
+        "unit": "ms/step",
+        "block_audio_s_per_s": round(block_audio / dt, 1),
+    }
+
+
+def main():
+    import jax
+
+    # f64 (config 1) verifies on the CPU backend; explicit-dtype f32 plans are
+    # unaffected by enabling x64 globally.
+    jax.config.update("jax_enable_x64", True)
+    results = []
+    for fn in (
+        config1_linear_power_f64,
+        config2_mel_db_batch,
+        config3_mfcc_delta,
+        config4_cqt_chroma_mdct,
+        config5_streaming_image,
+    ):
+        try:
+            r = fn()
+        except Exception as e:  # pragma: no cover
+            r = {"config": fn.__name__, "error": str(e)[:500]}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    out = Path(__file__).parent / "results.json"
+    out.write_text(json.dumps(results, indent=2))
+    print(f"# wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -100,7 +100,9 @@ def lowpass_filter(image, cutoff_fraction: float):
     _check_fraction("cutoff_fraction", cutoff_fraction)
     img = _as_image(image)
     spec = fft2d(img)
-    mask = jnp.asarray(_lowpass_mask(tuple(spec.shape), float(cutoff_fraction)))
+    mask = jnp.asarray(
+        _lowpass_mask(tuple(spec.shape), float(cutoff_fraction)).astype(img.dtype)
+    )
     return ifft2d(spec * mask, img.shape[1]).astype(img.dtype)
 
 
@@ -109,7 +111,9 @@ def highpass_filter(image, cutoff_fraction: float):
     _check_fraction("cutoff_fraction", cutoff_fraction)
     img = _as_image(image)
     spec = fft2d(img)
-    mask = 1.0 - jnp.asarray(_lowpass_mask(tuple(spec.shape), float(cutoff_fraction)))
+    mask = jnp.asarray(
+        (1.0 - _lowpass_mask(tuple(spec.shape), float(cutoff_fraction))).astype(img.dtype)
+    )
     return ifft2d(spec * mask, img.shape[1]).astype(img.dtype)
 
 
@@ -123,7 +127,10 @@ def bandpass_filter(image, low_cutoff: float, high_cutoff: float):
     spec = fft2d(img)
     shape = tuple(spec.shape)
     mask = jnp.asarray(
-        _lowpass_mask(shape, float(high_cutoff)) - _lowpass_mask(shape, float(low_cutoff))
+        (
+            _lowpass_mask(shape, float(high_cutoff))
+            - _lowpass_mask(shape, float(low_cutoff))
+        ).astype(img.dtype)
     )
     return ifft2d(spec * mask, img.shape[1]).astype(img.dtype)
 
