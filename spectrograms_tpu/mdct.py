@@ -115,11 +115,10 @@ def mdct(samples, params: MdctParams, dtype=None) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("two_n", "hop", "n_frames"))
 def _imdct_impl(coeffs_t, inv_basis, two_n, hop, n_frames):
+    from .ops.ola import overlap_add
+
     frames = jnp.matmul(coeffs_t, inv_basis, precision=jax.lax.Precision.HIGHEST)
-    out_len = hop * n_frames + two_n - hop
-    starts = np.arange(n_frames, dtype=np.int32) * hop
-    idx = jnp.asarray(starts[:, None] + np.arange(two_n, dtype=np.int32)[None, :])
-    return jnp.zeros(out_len, dtype=frames.dtype).at[idx.ravel()].add(frames.ravel())
+    return overlap_add(frames, hop)
 
 
 def imdct(coefficients, params: MdctParams, original_length=None) -> jax.Array:

@@ -150,12 +150,11 @@ def _ola_norm_np(window_key, n_fft, hop_size, n_frames, output_len):
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_size", "centre", "n_frames"))
 def _istft_impl(spec_t, w, norm, n_fft, hop_size, centre, n_frames):
+    from .ola import overlap_add
+
     # spec_t: (n_frames, n_bins) complex
     frames = jnp.fft.irfft(spec_t, n=n_fft, axis=-1) * w[None, :]
-    output_len = (n_frames - 1) * hop_size + n_fft
-    starts = np.arange(n_frames, dtype=np.int32) * hop_size
-    idx = jnp.asarray(starts[:, None] + np.arange(n_fft, dtype=np.int32)[None, :])
-    out = jnp.zeros(output_len, dtype=frames.dtype).at[idx.ravel()].add(frames.ravel())
+    out = overlap_add(frames, hop_size)
     out = jnp.where(norm > 1e-10, out / jnp.where(norm == 0, 1.0, norm), out)
     return out
 
