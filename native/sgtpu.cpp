@@ -129,8 +129,12 @@ float decode_sample(const uint8_t* p, uint16_t format, uint16_t bits) {
       return v / 32768.0f;
     }
     case 24: {
-      int32_t v = (p[0] << 8) | (p[1] << 16) | (p[2] << 24);
-      return (v >> 8) / 8388608.0f;
+      // Assemble in unsigned space first: p[2] << 24 on a promoted int is
+      // signed-overflow UB for negative samples.
+      uint32_t u = (static_cast<uint32_t>(p[0]) << 8) |
+                   (static_cast<uint32_t>(p[1]) << 16) |
+                   (static_cast<uint32_t>(p[2]) << 24);
+      return (static_cast<int32_t>(u) >> 8) / 8388608.0f;
     }
     case 32: {
       int32_t v;

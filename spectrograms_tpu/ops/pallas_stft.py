@@ -39,14 +39,33 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def supports_pallas_fusion(n_fft: int, hop: int, dtype) -> bool:
-    """The fused kernel needs hop | n_fft, f32, and MXU-friendly sizes."""
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom under the ~16 MB/core
+
+
+def _vmem_bytes(n_fft: int, hop: int, precision: str, tile_f: int = PALLAS_TILE_FRAMES) -> int:
+    """Worst-case VMEM footprint of the kernel's resident blocks + scratch."""
+    nb_pad = _round_up(n_fft // 2 + 1, 128)
+    cs = n_fft * 2 * nb_pad * 2               # bf16 hi matrix
+    if precision == "bf16x3":
+        cs *= 2                               # + lo matrix
+    scratch = tile_f * n_fft * 2 * (2 if precision == "bf16x3" else 1)
+    halo_blocks = 2 * 2 * tile_f * hop * 4    # double-buffered xa+xb f32
+    map_mat = nb_pad * nb_pad * 4             # worst case (identity-sized)
+    out = 2 * tile_f * nb_pad * 4
+    return cs + scratch + halo_blocks + map_mat + out
+
+
+def supports_pallas_fusion(n_fft: int, hop: int, dtype, precision: str = "bf16x3") -> bool:
+    """The fused kernel needs hop | n_fft, f32, MXU-friendly sizes, and the
+    constants + scratch must fit VMEM (Mosaic fails at compile time on real
+    hardware otherwise — interpret-mode CPU tests cannot catch it)."""
     return (
         np.dtype(dtype) == np.float32
         and n_fft % hop == 0
         and n_fft >= hop
         and hop % 128 == 0
         and n_fft <= 4096
+        and _vmem_bytes(n_fft, hop, precision) <= VMEM_BUDGET_BYTES
     )
 
 
@@ -144,10 +163,12 @@ def fused_spectrogram(
     """
     if not _PALLAS_OK:
         raise InvalidInputError("pallas is unavailable in this environment")
-    if not supports_pallas_fusion(n_fft, hop, np.float32):
+    if not supports_pallas_fusion(n_fft, hop, np.float32, precision):
         raise InvalidInputError(
-            f"fused kernel requires hop | n_fft, hop % 128 == 0, n_fft <= 4096; "
-            f"got n_fft={n_fft}, hop={hop}"
+            f"fused kernel requires hop | n_fft, hop % 128 == 0, n_fft <= 4096 "
+            f"and a VMEM-resident footprint <= {VMEM_BUDGET_BYTES} bytes; "
+            f"got n_fft={n_fft}, hop={hop}, precision={precision!r} "
+            f"(~{_vmem_bytes(n_fft, hop, precision)} bytes)"
         )
     if amp not in ("power", "magnitude", "decibels"):
         raise InvalidInputError(f"unknown amp {amp!r}")
@@ -173,7 +194,9 @@ def fused_spectrogram(
     cs[:, nb_pad : nb_pad + n_bins] = msin.astype(np.float32)
     cs_hi, cs_lo = _split_bf16(cs)
     if precision == "bf16":
-        cs_lo = np.zeros_like(cs_lo)
+        # The kernel never reads the lo matrix in bf16 mode — don't waste
+        # VMEM on a full-size zeros operand, pass a minimal tile.
+        cs_lo = np.zeros((8, 128), dtype=cs_lo.dtype)
 
     # Filterbank (n_out, n_bins) → padded (nb_pad, n_out_pad), or identity.
     if mapping_key is not None:
@@ -242,7 +265,7 @@ def fused_spectrogram(
                     (n_fft, 2 * nb_pad), lambda b, i: (0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (n_fft, 2 * nb_pad), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+                    tuple(cs_lo_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
                     (nb_pad, n_out_pad), lambda b, i: (0, 0), memory_space=pltpu.VMEM
@@ -254,7 +277,8 @@ def fused_spectrogram(
             out_shape=jax.ShapeDtypeStruct((B, nt * tile_f, n_out_pad), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((tile_f, n_fft), jnp.bfloat16),
-                pltpu.VMEM((tile_f, n_fft), jnp.bfloat16),
+                # lo scratch only exists in bf16x3 mode
+                pltpu.VMEM((tile_f, n_fft) if x3 else (8, 128), jnp.bfloat16),
             ],
             interpret=interpret,
         )(xr, xr, cs_hi_j, cs_lo_j, map_j)

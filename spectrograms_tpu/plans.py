@@ -70,6 +70,7 @@ def _make_plan_class(scale_name: str, amp_name: str):
             db: Optional[LogParams] = None,
             dtype=None,
             method: str = "auto",
+            precision=None,
         ):
             SpectrogramPlan.__init__(
                 self,
@@ -80,6 +81,7 @@ def _make_plan_class(scale_name: str, amp_name: str):
                 log_params=db if takes_db else None,
                 dtype=dtype,
                 method=method,
+                precision=precision,
             )
 
     else:
@@ -91,6 +93,7 @@ def _make_plan_class(scale_name: str, amp_name: str):
             db: Optional[LogParams] = None,
             dtype=None,
             method: str = "auto",
+            precision=None,
         ):
             SpectrogramPlan.__init__(
                 self,
@@ -101,6 +104,7 @@ def _make_plan_class(scale_name: str, amp_name: str):
                 log_params=db if takes_db else None,
                 dtype=dtype,
                 method=method,
+                precision=precision,
             )
 
     name = f"{scale_name}{amp_name}Plan"

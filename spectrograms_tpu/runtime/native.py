@@ -117,6 +117,9 @@ def load_library(build_if_missing: bool = True) -> ctypes.CDLL:
             if not _LIB.exists():
                 if not build_if_missing:
                     raise NativeUnavailable("libsgtpu.so not built")
+            if build_if_missing:
+                # build_library is a no-op when the .so is current; this also
+                # rebuilds a stale .so after sgtpu.cpp edits.
                 build_library()
             _lib = _bind(ctypes.CDLL(str(_LIB)))
             return _lib

@@ -36,6 +36,9 @@ class StreamingFramer:
         self.n_fft = int(n_fft)
         self.hop_size = int(hop_size)
         cap = int(capacity) if capacity else max(64 * hop_size + n_fft, 4 * n_fft)
+        # Same floor the native ring buffer enforces (sgtpu.cpp): anything
+        # smaller can never hold a complete frame plus its successor's hop.
+        cap = max(cap, 2 * self.n_fft)
         self._lib = None
         self._h = None
         try:

@@ -39,6 +39,7 @@ __all__ = [
 ]
 
 _REGISTRY: Dict[str, Type] = {}
+_BUILTINS_LOADED = False
 
 
 def register_type(cls: Type, name: str | None = None) -> Type:
@@ -48,8 +49,10 @@ def register_type(cls: Type, name: str | None = None) -> Type:
 
 
 def _registry() -> Dict[str, Type]:
-    if _REGISTRY:
+    global _BUILTINS_LOADED
+    if _BUILTINS_LOADED:
         return _REGISTRY
+    _BUILTINS_LOADED = True
     # Deferred: import the public surface once, register everything serde
     # covers in the reference. importlib because the package re-exports
     # functions named mfcc/chroma/cqt/mdct that shadow the module attributes.
@@ -104,7 +107,7 @@ def _is_array(v: Any) -> bool:
     return isinstance(v, np.ndarray) or type(v).__module__.startswith("jax")
 
 
-def _encode(v: Any) -> Any:
+def _encode(v: Any, arrays: list | None = None) -> Any:
     if v is None or isinstance(v, (bool, int, float, str)):
         return v
     if isinstance(v, enum.Enum):
@@ -113,6 +116,10 @@ def _encode(v: Any) -> Any:
         return {"__complex__": [v.real, v.imag]}
     if _is_array(v):
         arr = np.asarray(v)
+        if arrays is not None:
+            # Binary sink: store the ndarray itself, reference it in the doc.
+            arrays.append(arr)
+            return {"__npz_ref__": len(arrays) - 1}
         if np.iscomplexobj(arr):
             return {
                 "__ndarray__": {
@@ -131,15 +138,17 @@ def _encode(v: Any) -> Any:
         }
     if isinstance(v, (list, tuple)):
         return {"__seq__": "tuple" if isinstance(v, tuple) else "list",
-                "items": [_encode(i) for i in v]}
+                "items": [_encode(i, arrays) for i in v]}
     if dataclasses.is_dataclass(v) and not isinstance(v, type):
-        return to_dict(v)
+        return to_dict(v, _arrays=arrays)
     if hasattr(v, "__dict__") and type(v).__name__ in _registry():
-        return to_dict(v)
+        return to_dict(v, _arrays=arrays)
     raise InvalidInputError(f"cannot serialize value of type {type(v).__name__}")
 
 
 def _decode(v: Any) -> Any:
+    if isinstance(v, np.ndarray):
+        return v  # placed directly by load()
     if not isinstance(v, dict):
         return v
     if "__enum__" in v:
@@ -167,8 +176,11 @@ def _decode(v: Any) -> Any:
     return v
 
 
-def to_dict(obj: Any) -> Dict[str, Any]:
-    """Serialize a registered params/result object to a JSON-able dict."""
+def to_dict(obj: Any, _arrays: list | None = None) -> Dict[str, Any]:
+    """Serialize a registered params/result object to a JSON-able dict.
+
+    ``_arrays`` is the internal binary sink used by :func:`save`: ndarrays are
+    appended there and referenced instead of inlined as lists."""
     reg = _registry()
     name = type(obj).__name__
     if isinstance(obj, enum.Enum):
@@ -177,11 +189,12 @@ def to_dict(obj: Any) -> Dict[str, Any]:
         raise InvalidInputError(f"type {name} is not registered for serialization")
     if dataclasses.is_dataclass(obj):
         fields = {
-            f.name: _encode(getattr(obj, f.name)) for f in dataclasses.fields(obj)
+            f.name: _encode(getattr(obj, f.name), _arrays)
+            for f in dataclasses.fields(obj)
         }
     else:
         fields = {
-            k.lstrip("_"): _encode(v)
+            k.lstrip("_"): _encode(v, _arrays)
             for k, v in vars(obj).items()
         }
     return {"__type__": name, "fields": fields}
@@ -212,45 +225,11 @@ def from_json(s: str) -> Any:
 
 # ---- binary NPZ checkpoint format ------------------------------------------
 
-def _extract_arrays(node: Any, arrays: list, path: str = "") -> Any:
-    """Replace inline __ndarray__ payloads with references into an array list."""
-    if isinstance(node, dict):
-        if "__ndarray__" in node:
-            meta = node["__ndarray__"]
-            if "real" in meta:
-                arr = (
-                    np.asarray(meta["real"], dtype=np.float64)
-                    + 1j * np.asarray(meta["imag"], dtype=np.float64)
-                ).astype(np.dtype(meta["dtype"])).reshape(meta["shape"])
-            else:
-                arr = (
-                    np.asarray(meta["data"]).astype(np.dtype(meta["dtype"]))
-                    .reshape(meta["shape"])
-                )
-            idx = len(arrays)
-            arrays.append(arr)
-            return {"__npz_ref__": idx}
-        return {k: _extract_arrays(v, arrays, path + "/" + k) for k, v in node.items()}
-    if isinstance(node, list):
-        return [_extract_arrays(v, arrays, path) for v in node]
-    return node
-
-
 def _inject_arrays(node: Any, arrays: Dict[str, np.ndarray]) -> Any:
+    """Replace {__npz_ref__} nodes with the loaded ndarrays themselves."""
     if isinstance(node, dict):
         if "__npz_ref__" in node:
-            arr = arrays[f"arr_{node['__npz_ref__']}"]
-            return {
-                "__ndarray__": {
-                    "dtype": str(arr.dtype),
-                    "shape": list(arr.shape),
-                    **(
-                        {"real": arr.real.ravel().tolist(), "imag": arr.imag.ravel().tolist()}
-                        if np.iscomplexobj(arr)
-                        else {"data": arr.ravel().tolist()}
-                    ),
-                }
-            }
+            return arrays[f"arr_{node['__npz_ref__']}"]
         return {k: _inject_arrays(v, arrays) for k, v in node.items()}
     if isinstance(node, list):
         return [_inject_arrays(v, arrays) for v in node]
@@ -258,10 +237,10 @@ def _inject_arrays(node: Any, arrays: Dict[str, np.ndarray]) -> Any:
 
 
 def save(obj: Any, path) -> None:
-    """Save a params/result object as an .npz checkpoint (arrays binary)."""
-    doc = to_dict(obj)
+    """Save a params/result object as an .npz checkpoint (arrays binary,
+    never round-tripped through Python lists)."""
     arrays: list = []
-    doc = _extract_arrays(doc, arrays)
+    doc = to_dict(obj, _arrays=arrays)
     payload = {f"arr_{i}": a for i, a in enumerate(arrays)}
     payload["__doc__"] = np.frombuffer(
         json.dumps(doc).encode("utf-8"), dtype=np.uint8

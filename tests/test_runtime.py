@@ -146,3 +146,21 @@ def test_streaming_spectrogram_matches_offline():
     streamed = np.concatenate(outs, axis=1)
     assert streamed.shape == offline.shape
     np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-4)
+
+
+def test_fallback_framer_capacity_floor(monkeypatch):
+    # Regression: the Python fallback must enforce the same 2*n_fft capacity
+    # floor as the native ring buffer, or tiny capacities drop data silently.
+    import spectrograms_tpu.runtime.streaming as strm
+
+    monkeypatch.setattr(
+        strm, "load_library", lambda *a, **k: (_ for _ in ()).throw(
+            strm.NativeUnavailable("forced")
+        ),
+    )
+    fr = strm.StreamingFramer(512, 128, capacity=100)
+    assert not fr.native
+    fr.push(np.arange(1024, dtype=np.float32))
+    assert fr.available() >= 1
+    frames = fr.pop()
+    np.testing.assert_array_equal(frames[0], np.arange(512, dtype=np.float32))

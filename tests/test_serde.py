@@ -87,3 +87,18 @@ def test_unknown_type_rejected():
         serde.to_dict(object())
     with pytest.raises(sg.InvalidInputError):
         serde.from_dict({"__type__": "Nope", "fields": {}})
+
+
+def test_register_type_before_builtins():
+    # Regression: registering a custom type first must not block the built-ins.
+    class Custom:
+        def __init__(self, x=1):
+            self.x = x
+
+        def __eq__(self, other):
+            return self.x == other.x
+
+    serde.register_type(Custom)
+    p = sg.StftParams(256, 64)
+    assert serde.from_json(serde.to_json(p)) == p
+    assert serde.from_dict(serde.to_dict(Custom(5))) == Custom(5)
