@@ -107,6 +107,7 @@ from .erb import (
 from .mdct import MdctParams, mdct, imdct, compute_mdct, compute_imdct
 from .convolution import fft_convolve, fft_deconvolve, OverlapSaveConvolver
 from .min_phase import minimum_phase, minimum_phase_with
+from .reconstruct import griffin_lim, mel_to_linear, invert_mel_db, mel_filterbank_pinv
 from .fft2d import (
     fft2d,  # rebinds the module attr to the function — parity with the PyO3 fn
     fft2d as compute_fft2d,
@@ -272,6 +273,11 @@ __all__ = [
     "OverlapSaveConvolver",
     "minimum_phase",
     "minimum_phase_with",
+    # reconstruction (beyond reference parity)
+    "griffin_lim",
+    "mel_to_linear",
+    "invert_mel_db",
+    "mel_filterbank_pinv",
     # 2-D FFT + images
     "fft2d",
     "compute_fft2d",
