@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .errors import InvalidInputError
-from .ops.framing import frame_signal, pad_amounts
+from .ops.framing import frame_signal
 from .ops.ola import overlap_add
 from .params import MelParams, r2c_output_size
 from .windows import WindowType, make_window
@@ -38,9 +38,7 @@ def _griffin_lim_impl(mag, w, momentum, n_fft, hop, centre, n_iter, out_len):
     n_frames = mag.shape[1]
     mag_t = mag.T  # (n_frames, n_bins)
 
-    w2 = w * w
-    ola_len = (n_frames - 1) * hop + n_fft
-    norm = overlap_add(jnp.broadcast_to(w2, (n_frames, n_fft)), hop)
+    norm = overlap_add(jnp.broadcast_to(w * w, (n_frames, n_fft)), hop)
     safe_norm = jnp.where(norm > 1e-10, norm, 1.0)
 
     pad = n_fft // 2 if centre else 0
@@ -51,10 +49,9 @@ def _griffin_lim_impl(mag, w, momentum, n_fft, hop, centre, n_iter, out_len):
         return jnp.where(norm > 1e-10, out / safe_norm, out)
 
     def stft_t(x):
-        # x is the *padded* OLA-domain signal; frame without re-padding.
-        frames = jax.vmap(
-            lambda i: jax.lax.dynamic_slice(x, (i * hop,), (n_fft,))
-        )(jnp.arange(n_frames))
+        # x is the *padded* OLA-domain signal, already exactly
+        # (n_frames-1)*hop + n_fft long — centre=False framing re-slices it.
+        frames = frame_signal(x, n_fft, hop, centre=False)
         return jnp.fft.rfft(frames * w[None, :], axis=-1)
 
     def project(spec_t):
@@ -133,16 +130,11 @@ def griffin_lim(
 def _pinv_np(mel_key, sr: float, n_fft: int):
     from .ops import filterbanks as fb
 
-    mel_params = MelParams(*mel_key)
-    m = fb.mel_filterbank(sr, n_fft, mel_params)  # (n_mels, n_bins)
-    # Energy-normalized transpose (librosa mel_to_stft style): columns of the
-    # transpose re-weighted so M⁺ M ≈ I on the filterbank's span.
-    weights = m.T  # (n_bins, n_mels)
-    denom = np.maximum(weights.sum(axis=1, keepdims=True), 1e-10)
-    # Least-squares pseudo-inverse is better conditioned than row-normalized
-    # transpose for overlapping triangles:
-    pinv = np.linalg.pinv(m)  # (n_bins, n_mels)
-    return np.maximum(pinv, 0.0), denom
+    m = fb.mel_filterbank(sr, n_fft, MelParams(*mel_key))  # (n_mels, n_bins)
+    # Least-squares pseudo-inverse, clamped non-negative (power domain) —
+    # better conditioned than the row-normalized transpose for overlapping
+    # triangles (librosa mel_to_stft uses nnls; pinv⁺clamp is its cheap cousin).
+    return np.maximum(np.linalg.pinv(m), 0.0)  # (n_bins, n_mels)
 
 
 def mel_filterbank_pinv(mel_params: MelParams, sample_rate_hz: float, n_fft: int):
@@ -153,8 +145,7 @@ def mel_filterbank_pinv(mel_params: MelParams, sample_rate_hz: float, n_fft: int
         mel_params.f_max,
         mel_params.norm,
     )
-    pinv, _ = _pinv_np(key, float(sample_rate_hz), int(n_fft))
-    return pinv
+    return _pinv_np(key, float(sample_rate_hz), int(n_fft))
 
 
 def mel_to_linear(mel_power, mel_params: MelParams, sample_rate_hz: float, n_fft: int):
