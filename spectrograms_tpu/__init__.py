@@ -330,3 +330,6 @@ __all__ = [
     "clear_fft_plan_cache",
     "cache_stats",
 ] + list(_functions_all)
+
+from .serving import FeaturePipeline, FeatureBatch  # noqa: E402
+__all__ += ["FeaturePipeline", "FeatureBatch"]

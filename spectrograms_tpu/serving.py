@@ -1,0 +1,159 @@
+"""Production feature-serving pipeline: decode → batch → device → features.
+
+Composes the framework's pieces into the deployment shape the reference's
+users build by hand around its batch loops (``README.md:298-364``):
+
+- the C++ prefetching loader decodes and pads on worker threads
+  (``runtime/loader.py``) while the chip computes the previous batch —
+  JAX dispatch is async, so IO and compute overlap without any extra code;
+- a compiled plan maps each fixed-shape batch in one device program;
+- an optional device mesh shards the batch data-parallel (zero collectives);
+- padding frames are masked out using the true lengths.
+
+``FeaturePipeline`` is synchronous-iterator simple on purpose: throughput
+comes from the loader threads + async dispatch, not from Python concurrency.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .errors import InvalidInputError
+from .ops.framing import frame_count
+from .runtime.loader import AudioBatchLoader
+
+__all__ = ["FeatureBatch", "FeaturePipeline"]
+
+
+@dataclass
+class FeatureBatch:
+    """One served batch: features + per-item validity."""
+
+    features: jax.Array        # (B, n_bins, n_frames)
+    lengths: np.ndarray        # (B,) true sample counts (0 = padding row)
+    frame_mask: jax.Array      # (B, n_frames) True where the frame is real
+
+    @property
+    def batch_size(self) -> int:
+        return self.features.shape[0]
+
+    def masked(self) -> jax.Array:
+        """Features with padding frames zeroed."""
+        return self.features * self.frame_mask[:, None, :].astype(self.features.dtype)
+
+
+class FeaturePipeline:
+    """Stream WAV files through a plan at full device throughput.
+
+    >>> plan = sg.MelDbPlan(params, mel, db, dtype="float32")
+    >>> pipe = FeaturePipeline(plan, batch_size=32, target_seconds=10.0)
+    >>> for batch in pipe.run(paths):
+    ...     train_step(batch.masked())
+    """
+
+    def __init__(
+        self,
+        plan,
+        batch_size: int,
+        target_seconds: float,
+        sample_rate_hz: Optional[float] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        data_axis: str = "data",
+        n_threads: int = 4,
+        prefetch_batches: int = 4,
+    ):
+        self.plan = plan
+        sr = (
+            float(sample_rate_hz)
+            if sample_rate_hz is not None
+            else float(plan.params.sample_rate_hz)
+        )
+        self.sample_rate_hz = sr
+        self.target_len = int(round(target_seconds * sr))
+        if self.target_len <= 0:
+            raise InvalidInputError("target_seconds must be positive")
+        self.batch_size = int(batch_size)
+        self._n_threads = n_threads
+        self._prefetch = prefetch_batches
+
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if self.batch_size % mesh.shape[data_axis] != 0:
+                raise InvalidInputError(
+                    f"batch_size {batch_size} must divide evenly over the "
+                    f"'{data_axis}' mesh axis ({mesh.shape[data_axis]})"
+                )
+            self._sharding = NamedSharding(mesh, P(data_axis))
+            self._step = jax.jit(
+                jax.vmap(plan._forward_impl),
+                in_shardings=self._sharding,
+                out_shardings=self._sharding,
+            )
+        else:
+            self._step = plan._forward_batch
+
+        # Static per-pipeline frame geometry (fixed target_len ⇒ one jit shape).
+        stft = plan.params.stft
+        self._n_frames = frame_count(
+            self.target_len, stft.n_fft, stft.hop_size, stft.centre
+        )
+        self._hop = stft.hop_size
+        self._n_fft = stft.n_fft
+        self._centre = stft.centre
+
+    def _frame_mask(self, lengths: np.ndarray) -> np.ndarray:
+        """(B,) sample counts → (B, n_frames) bool of frames with real data."""
+        valid = np.zeros((len(lengths), self._n_frames), dtype=bool)
+        for i, n in enumerate(lengths):
+            if n <= 0:
+                continue
+            nf = frame_count(int(n), self._n_fft, self._hop, self._centre)
+            valid[i, : min(nf, self._n_frames)] = True
+        return valid
+
+    def run(self, paths: Sequence) -> Iterator[FeatureBatch]:
+        """Iterate feature batches over the given WAV files."""
+        loader = AudioBatchLoader(
+            paths,
+            batch_size=self.batch_size,
+            target_len=self.target_len,
+            n_threads=self._n_threads,
+            prefetch_batches=self._prefetch,
+        )
+        for data, lengths in loader:
+            xb = jnp.asarray(data, dtype=self.plan._dtype)
+            if self._sharding is not None:
+                xb = jax.device_put(xb, self._sharding)
+            feats = self._step(xb)
+            yield FeatureBatch(
+                features=feats,
+                lengths=lengths,
+                frame_mask=jnp.asarray(self._frame_mask(lengths)),
+            )
+
+    def throughput_report(self, paths: Sequence) -> dict:
+        """Run once over ``paths`` and report audio-seconds/s end-to-end
+        (decode + pad + transfer + compute, overlapped)."""
+        import time
+
+        total_audio = 0.0
+        t0 = time.perf_counter()
+        last = None
+        for batch in self.run(paths):
+            total_audio += float(batch.lengths.sum()) / self.sample_rate_hz
+            last = batch
+        if last is not None:
+            last.features.block_until_ready()
+        dt = time.perf_counter() - t0
+        return {
+            "audio_seconds": round(total_audio, 3),
+            "wall_seconds": round(dt, 4),
+            "audio_s_per_s": round(total_audio / dt, 1) if dt > 0 else 0.0,
+        }

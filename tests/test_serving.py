@@ -1,0 +1,96 @@
+"""FeaturePipeline serving layer (loader → plan → mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import spectrograms_tpu as sg
+from spectrograms_tpu.runtime import write_wav
+from spectrograms_tpu.serving import FeaturePipeline
+
+
+SR = 16000
+PARAMS = sg.SpectrogramParams(sg.StftParams(512, 128), float(SR))
+MEL = sg.MelParams(64, 0.0, 8000.0, sg.MelNorm.SLANEY)
+
+
+@pytest.fixture
+def clips(tmp_path):
+    rng = np.random.default_rng(0)
+    paths = []
+    lengths = [SR, SR // 2, SR * 2, SR, 3 * SR // 4, SR + 123]
+    for i, n in enumerate(lengths):
+        sig = (0.3 * rng.standard_normal(n)).astype(np.float32)
+        p = tmp_path / f"c{i}.wav"
+        write_wav(p, sig, SR, bits=16)
+        paths.append(p)
+    return paths, lengths
+
+
+def _plan():
+    return sg.MelDbPlan(PARAMS, MEL, sg.LogParams(-80.0), dtype="float32")
+
+
+def test_pipeline_yields_all_items(clips):
+    paths, lengths = clips
+    pipe = FeaturePipeline(_plan(), batch_size=4, target_seconds=1.0)
+    total = 0
+    for batch in pipe.run(paths):
+        assert batch.features.shape == (4, 64, pipe._n_frames)
+        assert batch.frame_mask.shape == (4, pipe._n_frames)
+        total += int((batch.lengths > 0).sum())
+    assert total == len(paths)
+
+
+def test_pipeline_masks_padding_frames(clips):
+    paths, _ = clips
+    pipe = FeaturePipeline(_plan(), batch_size=3, target_seconds=1.0)
+    for batch in pipe.run(paths):
+        masked = np.asarray(batch.masked())
+        mask = np.asarray(batch.frame_mask)
+        for i, n in enumerate(batch.lengths):
+            if n == 0:
+                assert not mask[i].any()
+                np.testing.assert_array_equal(masked[i], 0)
+            elif n < SR:  # shorter than target → trailing frames masked
+                assert mask[i, 0]
+                assert not mask[i, -1]
+                np.testing.assert_array_equal(masked[i][:, ~mask[i]], 0)
+
+
+def test_pipeline_sharded_over_mesh(clips):
+    paths, _ = clips
+    devices = jax.devices()
+    if len(devices) < 2:
+        pytest.skip("needs multiple devices")
+    from spectrograms_tpu.parallel import create_device_mesh
+
+    mesh = create_device_mesh((len(devices),), ("data",), devices)
+    pipe = FeaturePipeline(
+        _plan(), batch_size=len(devices), target_seconds=1.0, mesh=mesh
+    )
+    for batch in pipe.run(paths):
+        assert batch.features.shape[0] == len(devices)
+        assert len(batch.features.sharding.device_set) == len(devices)
+
+
+def test_pipeline_validates_batch_mesh_divisibility(clips):
+    paths, _ = clips
+    devices = jax.devices()
+    if len(devices) < 2:
+        pytest.skip("needs multiple devices")
+    from spectrograms_tpu.parallel import create_device_mesh
+
+    mesh = create_device_mesh((len(devices),), ("data",), devices)
+    with pytest.raises(sg.InvalidInputError):
+        FeaturePipeline(_plan(), batch_size=len(devices) + 1, target_seconds=1.0, mesh=mesh)
+
+
+def test_throughput_report(clips):
+    paths, lengths = clips
+    pipe = FeaturePipeline(_plan(), batch_size=2, target_seconds=1.0)
+    rep = pipe.throughput_report(paths)
+    expected_audio = sum(min(n, SR) for n in lengths) / SR
+    assert abs(rep["audio_seconds"] - expected_audio) < 1e-6
+    assert rep["audio_s_per_s"] > 0
