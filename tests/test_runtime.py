@@ -164,3 +164,25 @@ def test_fallback_framer_capacity_floor(monkeypatch):
     assert fr.available() >= 1
     frames = fr.pop()
     np.testing.assert_array_equal(frames[0], np.arange(512, dtype=np.float32))
+
+
+def test_loader_skips_corrupt_file(tmp_path):
+    good = _write_clips(tmp_path, [1000])
+    bad = tmp_path / "corrupt.wav"
+    bad.write_bytes(b"RIFFgarbage-not-a-wav-file")
+    loader = AudioBatchLoader(
+        [good[0], bad], batch_size=1, target_len=1500, n_threads=1
+    )
+    seen = 0
+    with pytest.raises(IOError):
+        for data, lens in loader:
+            if lens[0] > 0:
+                seen += 1
+    assert seen >= 1  # the good clip still came through
+
+
+def test_read_wav_rejects_garbage(tmp_path):
+    p = tmp_path / "junk.wav"
+    p.write_bytes(b"\x00" * 64)
+    with pytest.raises(Exception):
+        read_wav(p)
