@@ -86,10 +86,11 @@ def test_trainable_mel_filterbank():
     fb = fb0
     grad_fn = jax.jit(jax.grad(loss))
     for _ in range(120):
-        # projected gradient: filterbank weights stay non-negative, keeping
-        # the log1p argument in-domain
-        fb = jnp.maximum(fb - 1e-5 * grad_fn(fb), 0.0)
-    assert float(loss(fb)) < 0.7 * l0  # it learns (monotone descent)
+        # normalized projected gradient: scale-robust steps, non-negative
+        # weights keep the log1p argument in-domain
+        g = grad_fn(fb)
+        fb = jnp.maximum(fb - 2e-3 * g / (jnp.max(jnp.abs(g)) + 1e-12), 0.0)
+    assert float(loss(fb)) < 0.5 * l0  # it learns
 
 
 def test_vmap_jit_compose():
