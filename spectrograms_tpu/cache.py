@@ -60,11 +60,13 @@ def fft_plan_cache_info() -> Dict[str, Dict[str, int]]:
     try:
         import jax
 
-        live = jax.live_arrays()
-        info["xla.jit"] = {
+        # XLA's compile cache has no public size API; report live device
+        # buffers under an honest label (compiled programs are keyed
+        # internally and cleared together via jax.clear_caches()).
+        info["device.live_arrays"] = {
             "hits": -1,
             "misses": -1,
-            "currsize": len(live),
+            "currsize": len(jax.live_arrays()),
             "maxsize": -1,
         }
     except Exception:  # pragma: no cover - introspection only

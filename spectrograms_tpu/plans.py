@@ -62,6 +62,15 @@ def _make_plan_class(scale_name: str, amp_name: str):
     amp = _AMP[amp_name]
     takes_db = amp == AmpScale.DECIBELS
 
+    def _check_db(db):
+        if db is not None and not takes_db:
+            from .errors import InvalidInputError
+
+            raise InvalidInputError(
+                f"{scale_name}{amp_name}Plan does not take dB params "
+                "(only *DbPlan classes do)"
+            )
+
     if params_cls is None:
 
         def __init__(
@@ -72,6 +81,7 @@ def _make_plan_class(scale_name: str, amp_name: str):
             method: str = "auto",
             precision=None,
         ):
+            _check_db(db)
             SpectrogramPlan.__init__(
                 self,
                 params,
@@ -95,6 +105,7 @@ def _make_plan_class(scale_name: str, amp_name: str):
             method: str = "auto",
             precision=None,
         ):
+            _check_db(db)
             SpectrogramPlan.__init__(
                 self,
                 params,

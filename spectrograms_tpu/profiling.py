@@ -58,14 +58,19 @@ def detect_chip() -> ChipSpec:
     try:
         import jax
 
-        kind = jax.devices()[0].device_kind.lower()
+        kind = jax.devices()[0].device_kind.lower().replace(" ", "")
     except Exception:  # pragma: no cover
         return CHIPS["v5e"]
-    for key, spec in CHIPS.items():
-        if key in kind.replace(" ", "").replace("tpu", ""):
-            return spec
-    if "lite" in kind:
+    # Generation markers, most specific first — device_kind spells lite chips
+    # "TPU v5 lite" / "TPU v6 lite" (no 'e' suffix).
+    if "v6" in kind:
+        return CHIPS["v6e"]
+    if "v5p" in kind:
+        return CHIPS["v5p"]
+    if "v5" in kind:
         return CHIPS["v5e"]
+    if "v4" in kind:
+        return CHIPS["v4"]
     return CHIPS["v5e"]
 
 
@@ -84,7 +89,8 @@ class CostEstimate:
     def light_speed_s(self, chip: Optional[ChipSpec] = None, dtype="bfloat16") -> float:
         """Roofline lower-bound runtime on the given chip."""
         chip = chip or detect_chip()
-        peak = chip.bf16_tflops if "bf16" in str(dtype) else chip.f32_tflops
+        s = str(dtype).lower()
+        peak = chip.bf16_tflops if ("bf16" in s or "bfloat16" in s) else chip.f32_tflops
         t_compute = self.flops / (peak * 1e12)
         t_memory = self.bytes_hbm / (chip.hbm_gbps * 1e9)
         return max(t_compute, t_memory)
@@ -126,7 +132,7 @@ def plan_cost(plan, n_samples: int, batch: int = 1) -> CostEstimate:
         bytes_hbm += 2 * frames_elems * itemsize          # frames read ×2
         bytes_hbm += 2 * n_fft * k_bins * itemsize        # kernels
         bytes_hbm += n_frames * k_bins * itemsize         # output
-    elif plan.method == "matmul":
+    elif plan.method in ("matmul", "pallas"):
         flops += 2 * 2 * frames_elems * n_spec_bins       # cos+sin matmuls
         flops += 3 * n_frames * n_spec_bins               # re²+im²
         bytes_hbm += 2 * frames_elems * itemsize

@@ -71,3 +71,10 @@ def test_typed_plan_matches_generic():
 def test_fftbackenderror_alias():
     assert sg.FFTBackendError is sg.FftBackendError
     assert "__version__" in sg.__all__
+
+
+def test_power_plan_rejects_db():
+    with pytest.raises(sg.InvalidInputError):
+        sg.MelPowerPlan(PARAMS, MEL, db=DB, dtype="float32")
+    with pytest.raises(sg.InvalidInputError):
+        sg.LinearMagnitudePlan(PARAMS, db=DB, dtype="float32")

@@ -28,7 +28,9 @@ def test_light_speed_and_roofline():
     cost = profiling.plan_cost(plan, 160000, batch=32)
     light = cost.light_speed_s(chip, "bfloat16")
     assert 0 < light < 0.1
-    rep = profiling.roofline(plan, 160000, measured_s=light * 4, batch=32, chip=chip)
+    rep = profiling.roofline(
+        plan, 160000, measured_s=light * 4, batch=32, chip=chip, dtype="bfloat16"
+    )
     assert abs(rep["pct_of_roofline"] - 25.0) < 1e-6
     assert rep["achieved_tflops"] > 0
 
