@@ -119,3 +119,30 @@ def test_fftshift_matches_numpy():
     np.testing.assert_array_equal(
         np.asarray(sg.rfftfreq(10, d=0.01)), np.fft.rfftfreq(10, d=0.01)
     )
+
+
+def test_scipy_window_as_custom(rng):
+    # Reference test_custom_windows.py: arbitrary SciPy windows plug in as
+    # WindowType.custom and drive the full pipeline.
+    import spectrograms_tpu as sg
+
+    n_fft = 256
+    tukey = scipy.signal.get_window(("tukey", 0.25), n_fft, fftbins=False)
+    w = sg.WindowType.custom(tukey)
+    np.testing.assert_allclose(np.asarray(sg.make_window(w, n_fft, np.float64)), tukey)
+
+    params = sg.SpectrogramParams(sg.StftParams(n_fft, 64, window=w), 16000.0)
+    x = rng.standard_normal(4000)
+    spec = sg.LinearPowerPlan(params, dtype="float64").compute(x)
+    assert spec.shape[0] == n_fft // 2 + 1
+
+    # normalization modes
+    wn = sg.WindowType.custom(tukey, normalize="energy")
+    coeffs = np.asarray(sg.make_window(wn, n_fft, np.float64))
+    np.testing.assert_allclose(np.sum(coeffs**2), 1.0, rtol=1e-12)
+
+    with pytest.raises(sg.InvalidInputError):
+        # size mismatch against n_fft must be rejected
+        sg.SpectrogramParams(
+            sg.StftParams(512, 64, window=sg.WindowType.custom(tukey)), 16000.0
+        )
