@@ -93,3 +93,27 @@ def test_invert_mel_db_end_to_end():
     spec = np.abs(np.fft.rfft(rec * np.hanning(len(rec))))
     peak_hz = np.argmax(spec) * SR / len(rec)
     assert abs(peak_hz - 440.0) < 25.0, peak_hz
+
+
+def test_griffin_lim_vmaps():
+    import jax
+    from spectrograms_tpu.reconstruct import _griffin_lim_impl
+    import jax.numpy as jnp
+    from spectrograms_tpu.windows import WindowType, make_window
+
+    mags = np.stack(
+        [
+            np.abs(np.asarray(sg.stft(sine(f, duration=0.25, dtype=np.float32), N_FFT, HOP)))
+            for f in (330.0, 660.0)
+        ]
+    )
+    w = jnp.asarray(make_window(WindowType.HANNING, N_FFT, np.float64).astype(np.float32))
+    out_len = 4000
+
+    batched = jax.vmap(
+        lambda m: _griffin_lim_impl(
+            m, w, jnp.float32(0.99), N_FFT, HOP, True, 8, out_len
+        )
+    )(jnp.asarray(mags))
+    assert batched.shape == (2, out_len)
+    assert bool(jnp.all(jnp.isfinite(batched)))
