@@ -96,8 +96,15 @@ def griffin_lim(
     classic Griffin-Lim; the default 0.99 is the fast variant.
     """
     mag = jnp.asarray(magnitude)
+    if mag.ndim == 3:
+        # Batched input: vmap the whole iteration over the leading axis.
+        return jax.vmap(
+            lambda m: griffin_lim(
+                m, n_fft, hop_size, window, centre, n_iter, momentum, length
+            )
+        )(mag)
     if mag.ndim != 2:
-        raise InvalidInputError(f"magnitude must be 2-D, got {mag.shape}")
+        raise InvalidInputError(f"magnitude must be 2-D or 3-D, got {mag.shape}")
     expected = r2c_output_size(n_fft)
     if mag.shape[0] != expected:
         raise InvalidInputError(
