@@ -24,7 +24,7 @@ params = sg.SpectrogramParams(sg.StftParams(1024, 256), sr)
 power = sg.compute_linear_power_spectrogram(signal, params, dtype="float32")
 magnitude = sg.compute_linear_magnitude_spectrogram(signal, params, dtype="float32")
 db = sg.compute_linear_db_spectrogram(
-    signal, params, log_params=sg.LogParams(floor_db=-80.0), dtype="float32"
+    signal, params, db=sg.LogParams(floor_db=-80.0), dtype="float32"
 )
 
 p = np.asarray(power.data)
