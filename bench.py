@@ -57,7 +57,8 @@ def _flagship_plan():
     )
 
 
-def bench_tpu(batch: np.ndarray) -> float:
+def bench_tpu(batch: np.ndarray) -> "tuple[float, float]":
+    """Returns (audio_seconds_per_s, seconds_per_batch) measured on device."""
     import jax
     import jax.numpy as jnp
 

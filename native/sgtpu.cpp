@@ -53,6 +53,14 @@ struct WavInfo {
 
 bool read_exact(FILE* f, void* dst, size_t n) { return fread(dst, 1, n, f) == n; }
 
+uint64_t file_size_of(FILE* f) {
+  const long pos = ftell(f);
+  fseek(f, 0, SEEK_END);
+  const long end = ftell(f);
+  fseek(f, pos, SEEK_SET);
+  return end > 0 ? static_cast<uint64_t>(end) : 0;
+}
+
 bool parse_wav_header(FILE* f, WavInfo* info) {
   char tag[4];
   uint32_t riff_size = 0;
@@ -106,6 +114,18 @@ bool parse_wav_header(FILE* f, WavInfo* info) {
     set_error("zero channels");
     return false;
   }
+  // A corrupt header can declare a multi-GB data chunk; cap it at what the
+  // file actually holds so downstream allocation stays bounded.
+  const uint64_t fsz = file_size_of(f);
+  if (info->data_offset > fsz) {
+    set_error("data chunk offset beyond end of file");
+    return false;
+  }
+  if (info->data_offset + info->data_bytes > fsz) {
+    set_error("data chunk (" + std::to_string(info->data_bytes) +
+              " bytes) exceeds file size (" + std::to_string(fsz) + " bytes)");
+    return false;
+  }
   return true;
 }
 
@@ -152,7 +172,7 @@ float decode_sample(const uint8_t* p, uint16_t format, uint16_t bits) {
 // Returns 0 on success. *out is malloc'd (n_frames * n_channels floats);
 // caller frees with sg_free.
 SG_API int sg_wav_read(const char* path, float** out, int64_t* n_frames,
-                       int32_t* n_channels, int32_t* sample_rate) {
+                       int32_t* n_channels, int32_t* sample_rate) try {
   FILE* f = fopen(path, "rb");
   if (!f) {
     set_error(std::string("cannot open ") + path);
@@ -197,13 +217,27 @@ SG_API int sg_wav_read(const char* path, float** out, int64_t* n_frames,
   *n_channels = info.channels;
   *sample_rate = static_cast<int32_t>(info.sample_rate);
   return 0;
+} catch (const std::exception& e) {
+  // C++ exceptions (e.g. bad_alloc on a huge data chunk) must not cross the
+  // C ABI into ctypes; honor the -1 error contract instead.
+  set_error(std::string("wav read failed: ") + e.what());
+  return -1;
 }
 
 // Writes interleaved float32 data as WAV. bits: 16 (PCM16) or 32 (float32).
 SG_API int sg_wav_write(const char* path, const float* data, int64_t n_frames,
-                        int32_t n_channels, int32_t sample_rate, int32_t bits) {
+                        int32_t n_channels, int32_t sample_rate, int32_t bits) try {
   if (bits != 16 && bits != 32) {
     set_error("bits must be 16 (PCM) or 32 (float)");
+    return -1;
+  }
+  // RIFF sizes are 32-bit; reject payloads whose byte count would wrap and
+  // silently produce a corrupt header.
+  const uint64_t payload = static_cast<uint64_t>(n_frames) *
+                           static_cast<uint64_t>(n_channels) *
+                           static_cast<uint64_t>(bits / 8);
+  if (n_frames < 0 || n_channels <= 0 || payload > 0xFFFFFFFFull - 36ull) {
+    set_error("payload too large for RIFF/WAV (32-bit chunk sizes)");
     return -1;
   }
   FILE* f = fopen(path, "wb");
@@ -250,6 +284,9 @@ SG_API int sg_wav_write(const char* path, const float* data, int64_t n_frames,
   }
   fclose(f);
   return 0;
+} catch (const std::exception& e) {
+  set_error(std::string("wav write failed: ") + e.what());
+  return -1;
 }
 
 // ---------------------------------------------------------------------------
@@ -282,12 +319,17 @@ SG_API void* sg_framer_new(int64_t n_fft, int64_t hop, int64_t capacity) {
     return nullptr;
   }
   if (capacity < 2 * n_fft) capacity = 2 * n_fft;
-  Framer* fr = new Framer();
-  fr->n_fft = n_fft;
-  fr->hop = hop;
-  fr->cap = capacity;
-  fr->buf.resize(static_cast<size_t>(capacity));
-  return fr;
+  try {
+    Framer* fr = new Framer();
+    fr->n_fft = n_fft;
+    fr->hop = hop;
+    fr->cap = capacity;
+    fr->buf.resize(static_cast<size_t>(capacity));
+    return fr;
+  } catch (const std::exception& e) {
+    set_error(std::string("framer allocation failed: ") + e.what());
+    return nullptr;
+  }
 }
 
 SG_API void sg_framer_free(void* h) { delete static_cast<Framer*>(h); }
@@ -377,7 +419,16 @@ namespace {
 struct Batch {
   std::vector<float> data;      // batch * target_len
   std::vector<int64_t> lengths;  // batch
+  std::vector<int32_t> srs;      // batch (decoded sample rate, 0 for padding)
+  std::vector<int64_t> path_idx; // batch (source path index, -1 for padding)
   int64_t n_items;
+};
+
+struct StagedItem {
+  std::vector<float> samples;
+  int64_t len;
+  int32_t sample_rate;
+  int64_t path_index;
 };
 
 struct Loader {
@@ -392,7 +443,7 @@ struct Loader {
   std::deque<Batch> queue;
   // Items decoded but not yet grouped into a batch (per-worker staging would
   // reorder; a shared staging area under the lock keeps batches dense).
-  std::vector<std::pair<std::vector<float>, int64_t>> staging;
+  std::vector<StagedItem> staging;
   int64_t files_done = 0;
   bool closed = false;
   std::vector<std::thread> workers;
@@ -419,13 +470,16 @@ void flush_staging_locked(Loader* L) {
     b.n_items = n;
     b.data.assign(static_cast<size_t>(L->batch * L->target_len), 0.0f);
     b.lengths.assign(static_cast<size_t>(L->batch), 0);
+    b.srs.assign(static_cast<size_t>(L->batch), 0);
+    b.path_idx.assign(static_cast<size_t>(L->batch), -1);
     for (int64_t i = 0; i < n; ++i) {
       auto& item = L->staging[static_cast<size_t>(i)];
-      const int64_t len =
-          std::min<int64_t>(item.second, L->target_len);
-      memcpy(b.data.data() + i * L->target_len, item.first.data(),
+      const int64_t len = std::min<int64_t>(item.len, L->target_len);
+      memcpy(b.data.data() + i * L->target_len, item.samples.data(),
              static_cast<size_t>(len) * sizeof(float));
       b.lengths[static_cast<size_t>(i)] = len;
+      b.srs[static_cast<size_t>(i)] = item.sample_rate;
+      b.path_idx[static_cast<size_t>(i)] = item.path_index;
     }
     L->staging.erase(L->staging.begin(), L->staging.begin() + n);
     L->queue.push_back(std::move(b));
@@ -437,7 +491,7 @@ void flush_staging_locked(Loader* L) {
   }
 }
 
-void loader_worker(Loader* L) {
+void loader_worker(Loader* L) try {
   for (;;) {
     const size_t idx = L->next_path.fetch_add(1);
     if (idx >= L->paths.size()) break;
@@ -466,11 +520,21 @@ void loader_worker(Loader* L) {
       return L->closed || L->queue.size() < L->prefetch;
     });
     if (L->closed) break;
-    if (rc == 0) L->staging.emplace_back(std::move(mono), frames);
+    if (rc == 0) {
+      L->staging.push_back(
+          StagedItem{std::move(mono), frames, sr, static_cast<int64_t>(idx)});
+    }
     L->files_done++;
     flush_staging_locked(L);
   }
   std::lock_guard<std::mutex> lk(L->mu);
+  L->cv_get.notify_all();
+} catch (const std::exception& e) {
+  // A worker must never let an exception escape into thread teardown; record
+  // it and mark this worker's remaining files as done so consumers unblock.
+  std::lock_guard<std::mutex> lk(L->mu);
+  if (L->error.empty()) L->error = std::string("loader worker failed: ") + e.what();
+  L->files_done = static_cast<int64_t>(L->paths.size());
   L->cv_get.notify_all();
 }
 
@@ -483,6 +547,7 @@ SG_API void* sg_loader_new(const char** paths, int64_t n_paths, int64_t batch,
     set_error("n_paths, batch and target_len must be positive");
     return nullptr;
   }
+  try {
   Loader* L = new Loader();
   L->paths.reserve(static_cast<size_t>(n_paths));
   for (int64_t i = 0; i < n_paths; ++i) L->paths.emplace_back(paths[i]);
@@ -492,14 +557,22 @@ SG_API void* sg_loader_new(const char** paths, int64_t n_paths, int64_t batch,
   const int32_t nt = n_threads > 0 ? n_threads : 4;
   for (int32_t i = 0; i < nt; ++i) L->workers.emplace_back(loader_worker, L);
   return L;
+  } catch (const std::exception& e) {
+    set_error(std::string("loader allocation failed: ") + e.what());
+    return nullptr;
+  }
 }
 
 SG_API void sg_loader_free(void* h) { delete static_cast<Loader*>(h); }
 
 // Blocks for the next batch. out_data: batch*target_len floats,
-// out_lengths: batch int64 (0 marks a padding row). Returns the number of
-// real items (> 0), 0 at end of data, -1 on error.
-SG_API int64_t sg_loader_next(void* h, float* out_data, int64_t* out_lengths) {
+// out_lengths: batch int64 (0 marks a padding row), out_srs: batch int32
+// decoded sample rates (0 for padding rows), out_path_idx: batch int64
+// source path indices (-1 for padding rows). out_srs/out_path_idx may be
+// NULL. Returns the number of real items (> 0), 0 at end of data, -1 on
+// error.
+SG_API int64_t sg_loader_next(void* h, float* out_data, int64_t* out_lengths,
+                              int32_t* out_srs, int64_t* out_path_idx) try {
   Loader* L = static_cast<Loader*>(h);
   std::unique_lock<std::mutex> lk(L->mu);
   L->cv_get.wait(lk, [L] {
@@ -520,5 +593,14 @@ SG_API int64_t sg_loader_next(void* h, float* out_data, int64_t* out_lengths) {
   lk.unlock();
   memcpy(out_data, b.data.data(), b.data.size() * sizeof(float));
   memcpy(out_lengths, b.lengths.data(), b.lengths.size() * sizeof(int64_t));
+  if (out_srs != nullptr) {
+    memcpy(out_srs, b.srs.data(), b.srs.size() * sizeof(int32_t));
+  }
+  if (out_path_idx != nullptr) {
+    memcpy(out_path_idx, b.path_idx.data(), b.path_idx.size() * sizeof(int64_t));
+  }
   return b.n_items;
+} catch (const std::exception& e) {
+  set_error(std::string("loader next failed: ") + e.what());
+  return -1;
 }

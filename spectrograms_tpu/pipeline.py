@@ -319,6 +319,12 @@ class SpectrogramPlan:
                     "method='pallas' requires float32, hop | n_fft, hop % 128 == 0 "
                     f"and n_fft <= 4096 (got n_fft={n_fft}, hop={hop})"
                 )
+            if self.precision == jax.lax.Precision.HIGHEST:
+                raise InvalidInputError(
+                    "method='pallas' runs on bf16 MXU passes (DEFAULT -> bf16, "
+                    "HIGH -> bf16x3) and cannot honor precision=HIGHEST; use "
+                    "method='fft' or 'matmul' for full f32 accuracy"
+                )
             pallas_precision = (
                 "bf16" if self.precision == jax.lax.Precision.DEFAULT else "bf16x3"
             )

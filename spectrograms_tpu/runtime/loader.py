@@ -10,9 +10,12 @@ import numpy as np
 
 from ..errors import InvalidInputError
 from .native import NativeUnavailable, load_library
+from .resample import resample
 from .wav import read_wav
 
 __all__ = ["AudioBatchLoader"]
+
+_RATE_POLICIES = ("error", "resample", "ignore")
 
 
 class AudioBatchLoader:
@@ -25,6 +28,13 @@ class AudioBatchLoader:
     with device compute so the input pipeline never starves the chip
     (SURVEY.md §7 "multi-host measurement honesty"). Falls back to a
     synchronous Python loop without the native library.
+
+    Sample-rate safety: the decoded rate of every file is surfaced (the
+    reference's bindings silently drop it). Pass ``expected_sample_rate`` to
+    enforce it: ``on_rate_mismatch='error'`` (default) raises on the first
+    file at a different rate, ``'resample'`` converts mismatched rows with a
+    Kaiser-windowed-sinc resampler, ``'ignore'`` restores the old unchecked
+    behavior. Use :meth:`iter_with_rates` to see the raw per-row rates.
     """
 
     def __init__(
@@ -34,14 +44,24 @@ class AudioBatchLoader:
         target_len: int,
         n_threads: int = 4,
         prefetch_batches: int = 4,
+        expected_sample_rate: Optional[int] = None,
+        on_rate_mismatch: str = "error",
     ):
         if batch_size <= 0 or target_len <= 0:
             raise InvalidInputError("batch_size and target_len must be positive")
+        if on_rate_mismatch not in _RATE_POLICIES:
+            raise InvalidInputError(
+                f"on_rate_mismatch must be one of {_RATE_POLICIES}, got {on_rate_mismatch!r}"
+            )
         self.paths: List[str] = [str(p) for p in paths]
         if not self.paths:
             raise InvalidInputError("paths must be non-empty")
         self.batch_size = int(batch_size)
         self.target_len = int(target_len)
+        self.expected_sample_rate = (
+            None if expected_sample_rate is None else int(expected_sample_rate)
+        )
+        self.on_rate_mismatch = on_rate_mismatch
         self._n_threads = int(n_threads)
         self._prefetch = int(prefetch_batches)
         try:
@@ -49,10 +69,63 @@ class AudioBatchLoader:
         except NativeUnavailable:
             self._lib = None
 
+    # ---- iteration ---------------------------------------------------------
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        if self._lib is None:
-            yield from self._iter_py()
+        for data, lengths, srs in self.iter_with_rates():
+            yield data, lengths
+
+    def iter_with_rates(
+        self,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Like iteration, but yields ``(data, lengths, sample_rates)``.
+
+        ``sample_rates`` is ``(B,)`` int32 of *original* decoded rates (0 for
+        padding rows) — after any ``'resample'`` correction the data rows are
+        at ``expected_sample_rate`` even where this reports the source rate.
+        """
+        source = self._iter_native() if self._lib is not None else self._iter_py()
+        for data, lengths, srs, path_idx in source:
+            self._apply_rate_policy(data, lengths, srs, path_idx)
+            yield data, lengths, srs
+
+    def _apply_rate_policy(
+        self,
+        data: np.ndarray,
+        lengths: np.ndarray,
+        srs: np.ndarray,
+        path_idx: np.ndarray,
+    ) -> None:
+        expected = self.expected_sample_rate
+        if expected is None or self.on_rate_mismatch == "ignore":
             return
+        mismatched = np.nonzero((srs > 0) & (srs != expected))[0]
+        if mismatched.size == 0:
+            return
+        if self.on_rate_mismatch == "error":
+            offenders = ", ".join(
+                f"{self.paths[int(path_idx[i])]} ({int(srs[i])} Hz)"
+                for i in mismatched[:4]
+            )
+            raise InvalidInputError(
+                f"decoded sample rate does not match the expected {expected} "
+                f"Hz: {offenders}; pass on_rate_mismatch='resample' to "
+                "convert, or 'ignore' to accept mismatched features"
+            )
+        for i in mismatched:
+            # The padded row was truncated at target_len *source* samples; for
+            # correctness re-decode the full file and resample that, so a
+            # high-rate clip keeps its full duration.
+            sig, sr = read_wav(self.paths[int(path_idx[i])], mono=True)
+            converted = resample(sig, float(sr), float(expected))
+            m = min(converted.shape[0], self.target_len)
+            data[i, :] = 0.0
+            data[i, :m] = converted[:m]
+            lengths[i] = m
+
+    # ---- backends ----------------------------------------------------------
+    def _iter_native(
+        self,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         lib = self._lib
         c_paths = (ctypes.c_char_p * len(self.paths))(
             *[p.encode() for p in self.paths]
@@ -71,27 +144,35 @@ class AudioBatchLoader:
             while True:
                 data = np.empty((self.batch_size, self.target_len), dtype=np.float32)
                 lengths = np.empty((self.batch_size,), dtype=np.int64)
+                srs = np.empty((self.batch_size,), dtype=np.int32)
+                path_idx = np.empty((self.batch_size,), dtype=np.int64)
                 n = lib.sg_loader_next(
                     h,
                     data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                     lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    path_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 )
                 if n < 0:
                     raise IOError(lib.sg_last_error().decode("utf-8", "replace"))
                 if n == 0:
                     return
-                yield data, lengths
+                yield data, lengths, srs, path_idx
         finally:
             lib.sg_loader_free(h)
 
-    def _iter_py(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def _iter_py(self):
         for start in range(0, len(self.paths), self.batch_size):
             chunk = self.paths[start : start + self.batch_size]
             data = np.zeros((self.batch_size, self.target_len), dtype=np.float32)
             lengths = np.zeros((self.batch_size,), dtype=np.int64)
+            srs = np.zeros((self.batch_size,), dtype=np.int32)
+            path_idx = np.full((self.batch_size,), -1, dtype=np.int64)
             for i, p in enumerate(chunk):
-                sig, _sr = read_wav(p, mono=True)
+                sig, sr = read_wav(p, mono=True)
                 n = min(sig.shape[0], self.target_len)
                 data[i, :n] = sig[:n]
                 lengths[i] = n
-            yield data, lengths
+                srs[i] = sr
+                path_idx[i] = start + i
+            yield data, lengths, srs, path_idx

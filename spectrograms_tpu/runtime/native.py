@@ -101,6 +101,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_void_p,
         c.POINTER(c.c_float),
         c.POINTER(c.c_int64),
+        c.POINTER(c.c_int32),
+        c.POINTER(c.c_int64),
     ]
     return lib
 

@@ -1,0 +1,90 @@
+"""Sample-rate conversion for the host data path.
+
+The reference has no resampler — it silently trusts the caller to feed audio
+at the plan's rate. The serving path here validates decoded WAV rates against
+the plan (``AudioBatchLoader(expected_sample_rate=...)``) and can correct
+mismatches with this windowed-sinc resampler instead of producing silently
+wrong features.
+
+Method: bandlimited interpolation (Kaiser-windowed sinc), the same family as
+librosa/resampy's kaiser windows — each output sample is a dot product of
+``2*half_width`` input taps against a sinc kernel evaluated at the exact
+fractional input position, with the cutoff scaled to ``min(1, ratio)`` so
+downsampling is anti-aliased. Vectorized numpy (gather + weight matrix); this
+runs on loader worker threads, not the TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import InvalidInputError
+
+__all__ = ["resample"]
+
+
+def _kaiser_beta(attenuation_db: float) -> float:
+    a = attenuation_db
+    if a > 50.0:
+        return 0.1102 * (a - 8.7)
+    if a >= 21.0:
+        return 0.5842 * (a - 21.0) ** 0.4 + 0.07886 * (a - 21.0)
+    return 0.0
+
+
+def _i0(x: np.ndarray) -> np.ndarray:
+    return np.i0(x)
+
+
+def resample(
+    x,
+    sr_in: float,
+    sr_out: float,
+    half_width: int = 32,
+    attenuation_db: float = 90.0,
+) -> np.ndarray:
+    """Resample a 1-D signal from ``sr_in`` to ``sr_out`` Hz.
+
+    Output length is ``ceil(n * sr_out / sr_in)``. Pure numpy, float32 in →
+    float32 out (internally float64 for the kernel math).
+    """
+    x = np.asarray(x)
+    if x.ndim != 1:
+        raise InvalidInputError(f"expected a 1-D signal, got shape {x.shape}")
+    if sr_in <= 0 or sr_out <= 0:
+        raise InvalidInputError("sample rates must be positive")
+    if x.shape[0] == 0:
+        return x.copy()
+    if float(sr_in) == float(sr_out):
+        return np.array(x, copy=True)
+
+    in_dtype = x.dtype
+    xf = x.astype(np.float64)
+    n = xf.shape[0]
+    ratio = float(sr_out) / float(sr_in)
+    out_len = int(np.ceil(n * ratio))
+
+    # Anti-aliasing cutoff: at or below the narrower Nyquist.
+    cutoff = min(1.0, ratio)
+    beta = _kaiser_beta(attenuation_db)
+
+    # t_m: exact input-domain position of each output sample.
+    t = np.arange(out_len, dtype=np.float64) / ratio
+    base = np.floor(t).astype(np.int64)
+    frac = t - base
+
+    k = np.arange(-half_width + 1, half_width + 1, dtype=np.int64)  # (2H,)
+    idx = base[:, None] + k[None, :]                                # (M, 2H)
+    valid = (idx >= 0) & (idx < n)
+    gathered = np.where(valid, xf[np.clip(idx, 0, n - 1)], 0.0)
+
+    # Windowed-sinc weights at offsets (k - frac): sinc lowpass at `cutoff`,
+    # Kaiser window over the support [-H, H].
+    u = k[None, :].astype(np.float64) - frac[:, None]               # (M, 2H)
+    w_sinc = cutoff * np.sinc(cutoff * u)
+    z = u / half_width
+    win = np.where(np.abs(z) <= 1.0, _i0(beta * np.sqrt(np.maximum(0.0, 1.0 - z * z))) / _i0(np.asarray(beta)), 0.0)
+    weights = w_sinc * win
+
+    out = np.einsum("mk,mk->m", gathered, weights)
+    return out.astype(in_dtype if np.issubdtype(in_dtype, np.floating) else np.float64)

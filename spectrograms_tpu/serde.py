@@ -193,10 +193,16 @@ def to_dict(obj: Any, _arrays: list | None = None) -> Dict[str, Any]:
             for f in dataclasses.fields(obj)
         }
     else:
-        fields = {
-            k.lstrip("_"): _encode(v, _arrays)
-            for k, v in vars(obj).items()
-        }
+        # Strip at most ONE leading underscore: lstrip("_") would collapse
+        # `_x` and `x` (or a dunder attr) into one key and corrupt round-trips.
+        fields = {}
+        for k, v in vars(obj).items():
+            key = k[1:] if k.startswith("_") else k
+            if key in fields:
+                raise InvalidInputError(
+                    f"serialization key collision on {key!r} for type {name}"
+                )
+            fields[key] = _encode(v, _arrays)
     return {"__type__": name, "fields": fields}
 
 

@@ -66,8 +66,10 @@ class FeaturePipeline:
         data_axis: str = "data",
         n_threads: int = 4,
         prefetch_batches: int = 4,
+        on_rate_mismatch: str = "error",
     ):
         self.plan = plan
+        self.on_rate_mismatch = on_rate_mismatch
         sr = (
             float(sample_rate_hz)
             if sample_rate_hz is not None
@@ -126,6 +128,8 @@ class FeaturePipeline:
             target_len=self.target_len,
             n_threads=self._n_threads,
             prefetch_batches=self._prefetch,
+            expected_sample_rate=int(round(self.sample_rate_hz)),
+            on_rate_mismatch=self.on_rate_mismatch,
         )
         for data, lengths in loader:
             xb = jnp.asarray(data, dtype=self.plan._dtype)

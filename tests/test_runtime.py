@@ -186,3 +186,108 @@ def test_read_wav_rejects_garbage(tmp_path):
     p.write_bytes(b"\x00" * 64)
     with pytest.raises(Exception):
         read_wav(p)
+
+
+def test_wav_read_rejects_oversized_data_chunk(tmp_path):
+    # Corrupt header declaring a multi-GB data chunk must fail cleanly, not
+    # attempt the allocation (ADVICE round 1: bad_alloc across the C ABI).
+    sr = 8000
+    p = tmp_path / "big.wav"
+    write_wav(p, np.zeros(100, dtype=np.float32), sr, bits=16)
+    raw = bytearray(p.read_bytes())
+    idx = raw.find(b"data")
+    assert idx > 0
+    raw[idx + 4 : idx + 8] = (2**31).to_bytes(4, "little")
+    p.write_bytes(bytes(raw))
+    with pytest.raises(Exception):
+        read_wav(p)
+
+
+# ---- sample-rate safety ----------------------------------------------------
+
+def test_resample_sine_preserves_frequency():
+    from spectrograms_tpu.runtime.resample import resample
+
+    sr_in, sr_out, f0 = 44100, 16000, 440.0
+    t = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    y = resample(x, sr_in, sr_out)
+    assert y.shape[0] == int(np.ceil(len(x) * sr_out / sr_in))
+    # Interior of the resampled signal must match the analytic sine.
+    t2 = np.arange(y.shape[0]) / sr_out
+    ref = np.sin(2 * np.pi * f0 * t2)
+    interior = slice(100, -100)
+    np.testing.assert_allclose(y[interior], ref[interior], atol=5e-4)
+
+
+def test_resample_identity_and_validation():
+    from spectrograms_tpu.runtime.resample import resample
+
+    x = np.arange(10, dtype=np.float32)
+    np.testing.assert_array_equal(resample(x, 8000, 8000), x)
+    with pytest.raises(sg.InvalidInputError):
+        resample(x, 0, 8000)
+    with pytest.raises(sg.InvalidInputError):
+        resample(np.zeros((2, 2)), 8000, 16000)
+
+
+def test_loader_rate_mismatch_raises(tmp_path):
+    sr = 44100
+    x = np.sin(2 * np.pi * 440 * np.arange(sr // 2) / sr).astype(np.float32)
+    p = tmp_path / "hi.wav"
+    write_wav(p, x, sr, bits=16)
+    loader = AudioBatchLoader(
+        [p], batch_size=1, target_len=16000, expected_sample_rate=16000
+    )
+    with pytest.raises(sg.InvalidInputError, match="44100"):
+        list(loader)
+
+
+def test_loader_rate_mismatch_resamples(tmp_path):
+    # A 44.1 kHz sine fed to a 16 kHz pipeline must produce ~the same
+    # features as a natively-16 kHz recording of the same tone.
+    f0 = 440.0
+    hi_sr, lo_sr, dur = 44100, 16000, 0.5
+    t_hi = np.arange(int(hi_sr * dur)) / hi_sr
+    t_lo = np.arange(int(lo_sr * dur)) / lo_sr
+    p_hi = tmp_path / "hi.wav"
+    p_lo = tmp_path / "lo.wav"
+    write_wav(p_hi, np.sin(2 * np.pi * f0 * t_hi).astype(np.float32), hi_sr, bits=32)
+    write_wav(p_lo, np.sin(2 * np.pi * f0 * t_lo).astype(np.float32), lo_sr, bits=32)
+
+    def load(path):
+        loader = AudioBatchLoader(
+            [path],
+            batch_size=1,
+            target_len=int(lo_sr * dur),
+            expected_sample_rate=lo_sr,
+            on_rate_mismatch="resample",
+        )
+        (data, lens, srs), = list(loader.iter_with_rates())
+        return data[0], int(lens[0]), int(srs[0])
+
+    row_hi, n_hi, sr_hi = load(p_hi)
+    row_lo, n_lo, sr_lo = load(p_lo)
+    assert sr_hi == hi_sr and sr_lo == lo_sr
+    assert abs(n_hi - n_lo) <= 2
+    n = min(n_hi, n_lo)
+    np.testing.assert_allclose(row_hi[100 : n - 100], row_lo[100 : n - 100], atol=2e-3)
+
+
+def test_feature_pipeline_rejects_wrong_rate(tmp_path):
+    sr = 44100
+    x = np.sin(2 * np.pi * 440 * np.arange(sr // 4) / sr).astype(np.float32)
+    p = tmp_path / "hi.wav"
+    write_wav(p, x, sr, bits=16)
+    params = sg.SpectrogramParams(sg.StftParams(512, 160), 16000.0)
+    mel = sg.MelParams(40, 0.0, 8000.0, sg.MelNorm.SLANEY)
+    plan = sg.MelDbPlan(params, mel, sg.LogParams(-80.0), dtype="float32")
+    pipe = sg.FeaturePipeline(plan, batch_size=1, target_seconds=0.5)
+    with pytest.raises(sg.InvalidInputError, match="44100"):
+        list(pipe.run([p]))
+    # With resampling enabled the same file streams through.
+    pipe2 = sg.FeaturePipeline(
+        plan, batch_size=1, target_seconds=0.5, on_rate_mismatch="resample"
+    )
+    batches = list(pipe2.run([p]))
+    assert len(batches) == 1 and batches[0].features.shape[0] == 1
