@@ -148,6 +148,10 @@ from .binaural import (
     compute_ilr_spectrogram,
     compute_itd_spectrogram_diff,
     compute_ilr_spectrogram_diff,
+    compute_itd_spectrogram_batch,
+    compute_ipd_spectrogram_batch,
+    compute_ild_spectrogram_batch,
+    compute_ilr_spectrogram_batch,
 )
 from .source import (
     SpectrogramSource,
@@ -315,6 +319,10 @@ __all__ = [
     "compute_ilr_spectrogram",
     "compute_itd_spectrogram_diff",
     "compute_ilr_spectrogram_diff",
+    "compute_itd_spectrogram_batch",
+    "compute_ipd_spectrogram_batch",
+    "compute_ild_spectrogram_batch",
+    "compute_ilr_spectrogram_batch",
     # sources
     "SpectrogramSource",
     "PlanSource",

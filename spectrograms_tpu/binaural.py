@@ -52,6 +52,10 @@ __all__ = [
     "compute_ilr_spectrogram",
     "compute_itd_spectrogram_diff",
     "compute_ilr_spectrogram_diff",
+    "compute_itd_spectrogram_batch",
+    "compute_ipd_spectrogram_batch",
+    "compute_ild_spectrogram_batch",
+    "compute_ilr_spectrogram_batch",
 ]
 
 
@@ -144,25 +148,29 @@ def _histogram_core(
     exponent: int = 1,
     normalize: bool = False,
 ) -> np.ndarray:
-    """(num_bins, n_frames) per-frame histogram with the reference's binning."""
+    """(num_bins, n_frames) per-frame histogram with the reference's binning.
+
+    One vectorized 2-D bincount over (bin, frame) flat indices — replaces the
+    reference's rayon per-frame loops (``/root/reference/src/binaural.rs``)
+    and the round-1 O(n_frames) Python loop.
+    """
     vmin, vmax = value_range
     bin_width = (vmax - vmin) / num_bins
     n_frames = data.shape[1]
-    hist = np.zeros((num_bins, n_frames), dtype=np.float64)
     vals = data.astype(np.float64)
     valid = np.isfinite(vals) & (vals >= vmin) & (vals <= vmax)
     idx = np.minimum(
         np.floor((vals - vmin) / bin_width).astype(np.int64), num_bins - 1
     )
-    for frame in range(n_frames):
-        v = valid[:, frame]
-        np.add.at(hist[:, frame], idx[v, frame], 1.0)
-        if exponent != 1:
-            hist[:, frame] = hist[:, frame] ** exponent
-        if normalize:
-            s = hist[:, frame].sum()
-            if s > 0:
-                hist[:, frame] /= s
+    frame_col = np.broadcast_to(np.arange(n_frames, dtype=np.int64), vals.shape)
+    flat = idx[valid] * n_frames + frame_col[valid]
+    hist = np.bincount(flat, minlength=num_bins * n_frames).astype(np.float64)
+    hist = hist.reshape(num_bins, n_frames)
+    if exponent != 1:
+        hist **= exponent
+    if normalize:
+        sums = hist.sum(axis=0, keepdims=True)
+        hist = np.divide(hist, sums, out=hist, where=sums > 0)
     return hist
 
 
@@ -280,6 +288,15 @@ def _bin_range(params) -> Tuple[int, int, float]:
     return start_bin, stop_bin, bin_width
 
 
+def _stereo_spec_math(stereo, w, n_fft: int, hop: int, centre: bool,
+                      start_bin: int, stop_bin: int):
+    """(2, n) stereo → sliced complex (2, bins, frames). Pure/traceable."""
+    frames = frame_signal(stereo, n_fft, hop, centre)
+    spec = jnp.fft.rfft(frames * w[None, None, :], axis=-1)  # (2, frames, bins)
+    spec = jnp.swapaxes(spec, 1, 2)                          # (2, bins, frames)
+    return spec[:, start_bin:stop_bin, :]
+
+
 def _stereo_stft_slices(audio, params, start_bin: int, stop_bin: int, dtype):
     """Both channels through ONE batched STFT program → sliced (2, B, F)."""
     if len(audio) != 2:
@@ -295,10 +312,9 @@ def _stereo_stft_slices(audio, params, start_bin: int, stop_bin: int, dtype):
     stft_p = sp.stft
     w = jnp.asarray(make_window(stft_p.window, stft_p.n_fft, dt))
     stereo = jnp.stack([left, right])
-    frames = frame_signal(stereo, stft_p.n_fft, stft_p.hop_size, stft_p.centre)
-    spec = jnp.fft.rfft(frames * w[None, None, :], axis=-1)  # (2, n_frames, n_bins)
-    spec = jnp.swapaxes(spec, 1, 2)  # (2, n_bins, n_frames)
-    return spec[:, start_bin:stop_bin, :]
+    return _stereo_spec_math(
+        stereo, w, stft_p.n_fft, stft_p.hop_size, stft_p.centre, start_bin, stop_bin
+    )
 
 
 def _axes(params, start_bin: int, stop_bin: int, bin_width: float, n_frames: int):
@@ -308,21 +324,49 @@ def _axes(params, start_bin: int, stop_bin: int, bin_width: float, n_frames: int
     return freqs, times
 
 
+def _itd_math(spec, start_bin: int, stop_bin: int, bin_width: float, power: int):
+    l_mag, l_phase = magphase(spec[0], power)
+    r_mag, r_phase = magphase(spec[1], power)
+    diff = jnp.angle(l_phase) - jnp.angle(r_phase)
+    wrapped = jnp.mod(diff + jnp.pi, 2 * jnp.pi) - jnp.pi
+    bins = jnp.arange(start_bin, stop_bin, dtype=wrapped.dtype)[:, None]
+    itd = wrapped / (2 * jnp.pi * bin_width * bins)
+    return jnp.where(l_mag + r_mag > 0, itd, 0.0)
+
+
+def _ipd_math(spec, wrapped: bool):
+    _, l_phase = magphase(spec[0], 1)
+    _, r_phase = magphase(spec[1], 1)
+    diff = jnp.angle(l_phase) - jnp.angle(r_phase)
+    if wrapped:
+        diff = jnp.mod(diff + jnp.pi, 2 * jnp.pi) - jnp.pi
+    return diff
+
+
+def _ild_math(spec):
+    l_mag, _ = magphase(spec[0], 1)
+    r_mag, _ = magphase(spec[1], 1)
+    valid = (l_mag > 0) & (r_mag > 0)
+    safe_l = jnp.where(valid, l_mag, 1.0)
+    safe_r = jnp.where(valid, r_mag, 1.0)
+    return jnp.where(valid, -20.0 * jnp.log10(safe_r / safe_l), jnp.nan)
+
+
+def _ilr_math(spec):
+    l_mag, _ = magphase(spec[0], 1)
+    r_mag, _ = magphase(spec[1], 1)
+    valid = (l_mag > 0) & (r_mag > 0)
+    safe_l = jnp.where(valid, l_mag, 1.0)
+    ratio = jnp.where(valid, r_mag / safe_l, 1.0)
+    ilr = jnp.where(ratio < 1.0, 1.0 - ratio, -(1.0 - 1.0 / ratio))
+    return jnp.where(valid, ilr, jnp.nan)
+
+
 def compute_itd_spectrogram(audio, params: ITDSpectrogramParams, dtype=None) -> ItdSpectrogram:
     """ITD spectrogram in seconds over the params' bin range."""
     start_bin, stop_bin, bin_width = _bin_range(params)
     spec = _stereo_stft_slices(audio, params, start_bin, stop_bin, dtype)
-    l_mag, l_phase = magphase(spec[0], params.magphase_power)
-    r_mag, r_phase = magphase(spec[1], params.magphase_power)
-
-    l_angle = jnp.angle(l_phase)
-    r_angle = jnp.angle(r_phase)
-    diff = l_angle - r_angle
-    wrapped = jnp.mod(diff + jnp.pi, 2 * jnp.pi) - jnp.pi
-    bins = jnp.arange(start_bin, stop_bin, dtype=wrapped.dtype)[:, None]
-    itd = wrapped / (2 * jnp.pi * bin_width * bins)
-    itd = jnp.where(l_mag + r_mag > 0, itd, 0.0)
-
+    itd = _itd_math(spec, start_bin, stop_bin, bin_width, params.magphase_power)
     freqs, times = _axes(params, start_bin, stop_bin, bin_width, itd.shape[1])
     return ItdSpectrogram(itd, params, freqs, times)
 
@@ -331,11 +375,7 @@ def compute_ipd_spectrogram(audio, params: IPDSpectrogramParams, dtype=None) -> 
     """IPD spectrogram in radians (wrapped to [−π, π] if params.wrapped)."""
     start_bin, stop_bin, bin_width = _bin_range(params)
     spec = _stereo_stft_slices(audio, params, start_bin, stop_bin, dtype)
-    _, l_phase = magphase(spec[0], 1)
-    _, r_phase = magphase(spec[1], 1)
-    diff = jnp.angle(l_phase) - jnp.angle(r_phase)
-    if params.wrapped:
-        diff = jnp.mod(diff + jnp.pi, 2 * jnp.pi) - jnp.pi
+    diff = _ipd_math(spec, params.wrapped)
     freqs, times = _axes(params, start_bin, stop_bin, bin_width, diff.shape[1])
     return IpdSpectrogram(diff, params, freqs, times)
 
@@ -344,12 +384,7 @@ def compute_ild_spectrogram(audio, params: ILDSpectrogramParams, dtype=None) -> 
     """ILD spectrogram: −20·log10(R/L) dB; masked cells NaN."""
     start_bin, stop_bin, bin_width = _bin_range(params)
     spec = _stereo_stft_slices(audio, params, start_bin, stop_bin, dtype)
-    l_mag, _ = magphase(spec[0], 1)
-    r_mag, _ = magphase(spec[1], 1)
-    valid = (l_mag > 0) & (r_mag > 0)
-    safe_l = jnp.where(valid, l_mag, 1.0)
-    safe_r = jnp.where(valid, r_mag, 1.0)
-    ild = jnp.where(valid, -20.0 * jnp.log10(safe_r / safe_l), jnp.nan)
+    ild = _ild_math(spec)
     freqs, times = _axes(params, start_bin, stop_bin, bin_width, ild.shape[1])
     return IldSpectrogram(ild, params, freqs, times)
 
@@ -358,15 +393,89 @@ def compute_ilr_spectrogram(audio, params: ILRSpectrogramParams, dtype=None) -> 
     """ILR spectrogram in [−1, 1]; masked cells NaN."""
     start_bin, stop_bin, bin_width = _bin_range(params)
     spec = _stereo_stft_slices(audio, params, start_bin, stop_bin, dtype)
-    l_mag, _ = magphase(spec[0], 1)
-    r_mag, _ = magphase(spec[1], 1)
-    valid = (l_mag > 0) & (r_mag > 0)
-    safe_l = jnp.where(valid, l_mag, 1.0)
-    ratio = jnp.where(valid, r_mag / safe_l, 1.0)
-    ilr = jnp.where(ratio < 1.0, 1.0 - ratio, -(1.0 - 1.0 / ratio))
-    ilr = jnp.where(valid, ilr, jnp.nan)
+    ilr = _ilr_math(spec)
     freqs, times = _axes(params, start_bin, stop_bin, bin_width, ilr.shape[1])
     return IlrSpectrogram(ilr, params, freqs, times)
+
+
+# ---------------------------------------------------------------------------
+# Batch APIs — one vmapped device program over a batch of stereo pairs
+# ---------------------------------------------------------------------------
+
+_BATCH_FN_CACHE: dict = {}
+
+
+def _batched_fn(kind: str, params, dt):
+    """jitted vmapped (B, 2, n) → (B, bins, frames) program, cached per config."""
+    try:
+        key = (kind, params, np.dtype(dt).str)
+    except TypeError:  # unhashable custom window — build uncached
+        key = None
+    if key is not None and key in _BATCH_FN_CACHE:
+        return _BATCH_FN_CACHE[key]
+
+    start_bin, stop_bin, bin_width = _bin_range(params)
+    sp = params.spectrogram_params
+    stft_p = sp.stft
+    w = jnp.asarray(make_window(stft_p.window, stft_p.n_fft, dt))
+
+    def one(stereo):
+        spec = _stereo_spec_math(
+            stereo, w, stft_p.n_fft, stft_p.hop_size, stft_p.centre,
+            start_bin, stop_bin,
+        )
+        if kind == "itd":
+            return _itd_math(spec, start_bin, stop_bin, bin_width,
+                             params.magphase_power)
+        if kind == "ipd":
+            return _ipd_math(spec, params.wrapped)
+        if kind == "ild":
+            return _ild_math(spec)
+        return _ilr_math(spec)
+
+    fn = jax.jit(jax.vmap(one))
+    if key is not None:
+        _BATCH_FN_CACHE[key] = fn
+    return fn
+
+
+def _batch_input(audio_batch, dt):
+    xb = jnp.asarray(audio_batch)
+    if xb.ndim != 3 or xb.shape[1] != 2:
+        raise InvalidInputError(
+            f"expected a (batch, 2, n_samples) stereo batch, got {xb.shape}"
+        )
+    if xb.shape[2] == 0:
+        raise InvalidInputError("signals must be non-empty")
+    return xb.astype(dt)
+
+
+def compute_itd_spectrogram_batch(audio_batch, params: ITDSpectrogramParams, dtype=None) -> jax.Array:
+    """ITD over a (B, 2, n) stereo batch → (B, bins, frames), one device program.
+
+    TPU-native replacement for the reference's rayon-parallel per-pair loops
+    (``/root/reference/src/binaural.rs:106-168``).
+    """
+    dt = parse_dtype(dtype)
+    return _batched_fn("itd", params, dt)(_batch_input(audio_batch, dt))
+
+
+def compute_ipd_spectrogram_batch(audio_batch, params: IPDSpectrogramParams, dtype=None) -> jax.Array:
+    """IPD over a (B, 2, n) stereo batch → (B, bins, frames)."""
+    dt = parse_dtype(dtype)
+    return _batched_fn("ipd", params, dt)(_batch_input(audio_batch, dt))
+
+
+def compute_ild_spectrogram_batch(audio_batch, params: ILDSpectrogramParams, dtype=None) -> jax.Array:
+    """ILD over a (B, 2, n) stereo batch → (B, bins, frames)."""
+    dt = parse_dtype(dtype)
+    return _batched_fn("ild", params, dt)(_batch_input(audio_batch, dt))
+
+
+def compute_ilr_spectrogram_batch(audio_batch, params: ILRSpectrogramParams, dtype=None) -> jax.Array:
+    """ILR over a (B, 2, n) stereo batch → (B, bins, frames)."""
+    dt = parse_dtype(dtype)
+    return _batched_fn("ilr", params, dt)(_batch_input(audio_batch, dt))
 
 
 # ---------------------------------------------------------------------------

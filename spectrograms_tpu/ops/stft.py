@@ -43,29 +43,34 @@ __all__ = [
 
 
 def _as_signal(samples, dtype):
+    """Accepts a 1-D signal or a (channels, n) multichannel matrix."""
     x = jnp.asarray(samples)
-    if x.ndim != 1:
-        raise InvalidInputError(f"expected a 1-D signal, got shape {x.shape}")
-    if x.shape[0] == 0:
+    if x.ndim not in (1, 2):
+        raise InvalidInputError(
+            f"expected a 1-D signal or (channels, n) input, got shape {x.shape}"
+        )
+    if x.shape[-1] == 0:
         raise InvalidInputError("signal must be non-empty")
     return x.astype(dtype)
 
 
 @partial(jax.jit, static_argnames=("n_fft",))
 def _fft_impl(x, n_fft):
-    n = x.shape[0]
+    n = x.shape[-1]
     if n < n_fft:
-        x = jnp.pad(x, (0, n_fft - n))
-    return jnp.fft.rfft(x, n=n_fft)
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n_fft - n)])
+    return jnp.fft.rfft(x, n=n_fft, axis=-1)
 
 
 def fft(samples, n_fft: int, dtype=None):
-    """r2c FFT of a signal (zero-padded up to ``n_fft``). → (n_fft//2+1,) complex."""
+    """r2c FFT of a signal (zero-padded up to ``n_fft``). → (n_fft//2+1,) complex.
+
+    Multichannel ``(C, n)`` input transforms per channel → ``(C, n_bins)``."""
     dt = parse_dtype(dtype if dtype is not None else getattr(samples, "dtype", None))
     x = _as_signal(samples, dt)
-    if x.shape[0] > n_fft:
+    if x.shape[-1] > n_fft:
         raise InvalidInputError(
-            f"Input length ({x.shape[0]}) exceeds FFT size ({n_fft})"
+            f"Input length ({x.shape[-1]}) exceeds FFT size ({n_fft})"
         )
     return _fft_impl(x, int(n_fft)).astype(complex_dtype(dt))
 
@@ -89,14 +94,14 @@ def power_spectrum(samples, n_fft: int, window: WindowType | None = None, dtype=
     """|X|² of an (optionally windowed) zero-padded signal. → (n_fft//2+1,)."""
     dt = parse_dtype(dtype if dtype is not None else getattr(samples, "dtype", None))
     x = _as_signal(samples, dt)
-    if x.shape[0] > n_fft:
+    if x.shape[-1] > n_fft:
         raise InvalidInputError(
-            f"Input length ({x.shape[0]}) exceeds FFT size ({n_fft})"
+            f"Input length ({x.shape[-1]}) exceeds FFT size ({n_fft})"
         )
     if window is not None:
         w = jnp.asarray(make_window(window, n_fft, dt))
-        if x.shape[0] < n_fft:
-            x = jnp.pad(x, (0, n_fft - x.shape[0]))
+        if x.shape[-1] < n_fft:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n_fft - x.shape[-1])])
         x = x * w
     spec = _fft_impl(x, int(n_fft))
     return (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2).astype(dt)
@@ -109,9 +114,9 @@ def magnitude_spectrum(samples, n_fft: int, window: WindowType | None = None, dt
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_size", "centre"))
 def _stft_impl(x, w, n_fft, hop_size, centre):
-    frames = frame_signal(x, n_fft, hop_size, centre)  # (n_frames, n_fft)
-    spec = jnp.fft.rfft(frames * w[None, :], n=n_fft, axis=-1)
-    return spec.T  # (n_bins, n_frames) — reference layout
+    frames = frame_signal(x, n_fft, hop_size, centre)  # (…, n_frames, n_fft)
+    spec = jnp.fft.rfft(frames * w, n=n_fft, axis=-1)
+    return jnp.swapaxes(spec, -1, -2)  # (…, n_bins, n_frames) — reference layout
 
 
 def stft(
@@ -124,6 +129,10 @@ def stft(
 ):
     """Short-time Fourier transform. → (n_fft//2+1, n_frames) complex.
 
+    Multichannel input ``(C, n)`` is transformed per channel in the same
+    device program → ``(C, n_bins, n_frames)`` (the reference loops a plan
+    over channels, ``/root/reference/examples/stft_multichannel.rs``).
+
     The whole frame axis is one fused device program (frame gather → window
     broadcast-multiply → batched rFFT) instead of the reference's per-frame
     loop (``/root/reference/src/spectrogram.rs:1424-1458``).
@@ -131,7 +140,14 @@ def stft(
     if hop_size > n_fft:
         raise InvalidInputError("hop_size must be <= n_fft")
     dt = parse_dtype(dtype if dtype is not None else getattr(samples, "dtype", None))
-    x = _as_signal(samples, dt)
+    x = jnp.asarray(samples)
+    if x.ndim not in (1, 2):
+        raise InvalidInputError(
+            f"expected a 1-D signal or (channels, n) multichannel input, got {x.shape}"
+        )
+    if x.shape[-1] == 0:
+        raise InvalidInputError("signal must be non-empty")
+    x = x.astype(dt)
     w = jnp.asarray(make_window(window, n_fft, dt))
     return _stft_impl(x, w, int(n_fft), int(hop_size), bool(centre)).astype(
         complex_dtype(dt)

@@ -195,14 +195,20 @@ class StftResult:
 
 
 def _resolve_method(method: str, n_fft: int, dtype) -> str:
-    if method not in ("auto", "matmul", "fft", "pallas"):
+    from .ops.fft_factored import supports_factored
+
+    if method not in ("auto", "matmul", "factored", "fft", "pallas"):
         raise InvalidInputError(
-            f"unknown method {method!r}; expected auto/matmul/fft/pallas"
+            f"unknown method {method!r}; expected auto/matmul/factored/fft/pallas"
         )
     if method == "auto":
         if np.dtype(dtype) == np.float64 or n_fft > MATMUL_MAX_N_FFT:
             return "fft"
         return "matmul"
+    if method == "factored" and not supports_factored(n_fft):
+        raise InvalidInputError(
+            f"method='factored' requires n_fft = 128 * 2^k in 256..4096, got {n_fft}"
+        )
     return method
 
 
@@ -302,6 +308,12 @@ class SpectrogramPlan:
         if self.method in ("matmul", "pallas") and freq_scale != FreqScale.CQT:
             c, s = rdft_matrices(n_fft, window64, self._dtype)
             self._dft_c, self._dft_s = c, s
+        if self.method == "factored" and freq_scale != FreqScale.CQT:
+            from .ops.fft_factored import FactoredRfft
+
+            self._factored = FactoredRfft(
+                n_fft, window64, self._dtype, precision=self.precision
+            )
 
         self._floor_db = None if log_params is None else log_params.floor_db
         if amp_scale == AmpScale.DECIBELS and self._floor_db is None:
@@ -358,7 +370,9 @@ class SpectrogramPlan:
             im = jnp.matmul(frames, self._cqt_im, precision=self.precision)
             mapped = re * re + im * im
         else:
-            if self.method in ("matmul", "pallas"):
+            if self.method == "factored":
+                power = self._factored.power(frames)
+            elif self.method in ("matmul", "pallas"):
                 re = jnp.matmul(frames, self._dft_c, precision=self.precision)
                 im = jnp.matmul(frames, self._dft_s, precision=self.precision)
                 power = re * re + im * im
@@ -487,7 +501,7 @@ class StftPlan:
             self._centre,
             dtype=self._dtype,
         )
-        freqs = np.arange(spec.shape[0], dtype=np.float64) * (
+        freqs = np.arange(spec.shape[-2], dtype=np.float64) * (
             self.params.sample_rate_hz / self._n_fft
         )
         return StftResult(

@@ -24,6 +24,7 @@ __all__ = [
     "detect_chip",
     "CostEstimate",
     "plan_cost",
+    "task_cost",
     "roofline",
     "trace",
 ]
@@ -132,6 +133,16 @@ def plan_cost(plan, n_samples: int, batch: int = 1) -> CostEstimate:
         bytes_hbm += 2 * frames_elems * itemsize          # frames read ×2
         bytes_hbm += 2 * n_fft * k_bins * itemsize        # kernels
         bytes_hbm += n_frames * k_bins * itemsize         # output
+    elif plan.method == "factored":
+        # Two-stage Cooley-Tukey (ops/fft_factored.py): stage-1 real matmuls
+        # contract 128, + twiddle + radix-2 tail + |·|².
+        r = n_fft // 128
+        flops += 4 * 128 * frames_elems                   # 2 × (·,128)@(128,128)
+        flops += 6 * frames_elems                         # complex twiddle
+        flops += 5 * np.log2(r) * frames_elems            # radix-2 butterflies
+        flops += 3 * n_frames * n_spec_bins               # re²+im²
+        bytes_hbm += 4 * frames_elems * itemsize          # frames ×2 + re/im
+        bytes_hbm += n_frames * n_spec_bins * itemsize
     elif plan.method in ("matmul", "pallas"):
         flops += 2 * 2 * frames_elems * n_spec_bins       # cos+sin matmuls
         flops += 3 * n_frames * n_spec_bins               # re²+im²
@@ -159,6 +170,38 @@ def plan_cost(plan, n_samples: int, batch: int = 1) -> CostEstimate:
     return CostEstimate(flops * batch, bytes_hbm * batch, trans * batch)
 
 
+def task_cost(plan, n_samples: int, batch: int = 1) -> CostEstimate:
+    """Algorithm-independent lower bound for the *task* the plan performs.
+
+    Charges the spectral transform at true FFT cost (5·N·log₂N per frame,
+    the standard radix-2 count) plus the unavoidable filterbank matmul and
+    elementwise tail, with HBM traffic of just signal-in + features-out.
+    ``pct_of_task_roofline`` graded against this is honest speed-of-light:
+    a dense-DFT plan running at MXU peak still scores low here because the
+    *algorithm* burns more FLOPs than the task requires (round-1 VERDICT).
+    """
+    from .pipeline import AmpScale, FreqScale
+
+    n_bins_out, n_frames = plan.output_shape(n_samples)
+    n_fft = plan._n_fft
+    itemsize = np.dtype(plan._dtype).itemsize
+    n_spec_bins = n_fft // 2 + 1
+
+    flops = 5.0 * n_frames * n_fft * np.log2(n_fft)       # rFFT task cost
+    flops += 3 * n_frames * n_spec_bins                   # |·|²
+    if plan.freq_scale == FreqScale.CQT:
+        k_bins = plan._cqt_re.shape[1]
+        flops = 2 * 2 * n_frames * n_fft * k_bins         # CQT is a matmul task
+    elif plan._mapping_t is not None:
+        n_in = plan._mapping_t.shape[0]
+        flops += 2 * n_frames * n_in * n_bins_out
+    out_elems = n_frames * n_bins_out
+    if plan.amp_scale != AmpScale.POWER:
+        flops += 2 * out_elems
+    bytes_hbm = (n_samples + out_elems) * itemsize
+    return CostEstimate(flops * batch, bytes_hbm * batch)
+
+
 def roofline(
     plan,
     n_samples: int,
@@ -167,17 +210,28 @@ def roofline(
     chip: Optional[ChipSpec] = None,
     dtype="float32",
 ) -> Dict[str, float]:
-    """Measured runtime → roofline report dict."""
+    """Measured runtime → roofline report dict.
+
+    Reports two gradings: ``pct_of_roofline`` against the cost of the
+    *chosen algorithm* (how well the kernels run) and
+    ``pct_of_task_roofline`` against the FFT-FLOPs *task* lower bound (how
+    close the whole design is to speed-of-light for the problem).
+    """
     chip = chip or detect_chip()
     cost = plan_cost(plan, n_samples, batch)
+    task = task_cost(plan, n_samples, batch)
     light = cost.light_speed_s(chip, dtype)
+    task_light = task.light_speed_s(chip, dtype)
     return {
         "flops": cost.flops,
+        "task_flops": task.flops,
         "bytes_hbm": cost.bytes_hbm,
         "arithmetic_intensity": cost.arithmetic_intensity,
         "light_speed_s": light,
+        "task_light_speed_s": task_light,
         "measured_s": measured_s,
         "pct_of_roofline": 100.0 * light / measured_s if measured_s > 0 else 0.0,
+        "pct_of_task_roofline": 100.0 * task_light / measured_s if measured_s > 0 else 0.0,
         "achieved_tflops": cost.flops / measured_s / 1e12 if measured_s > 0 else 0.0,
         "achieved_gbps": cost.bytes_hbm / measured_s / 1e9 if measured_s > 0 else 0.0,
     }

@@ -144,3 +144,75 @@ def test_result_axes():
     assert itd.duration() > 0
     lo, hi = itd.frequency_range()
     assert lo < hi <= 620.0 + SR / 512
+
+
+# ---- batch APIs + vectorized histograms ------------------------------------
+
+def test_batch_matches_single():
+    rng = np.random.default_rng(7)
+    batch = []
+    for i in range(3):
+        l, r = stereo(delay=i + 1, gain=1.0 + 0.2 * i, freq=250.0 + 50 * i)
+        batch.append(np.stack([l, r]))
+    xb = np.stack(batch)  # (3, 2, n)
+
+    for kind, batch_fn, single_fn, P in [
+        ("itd", sg.compute_itd_spectrogram_batch, sg.compute_itd_spectrogram,
+         sg.ITDSpectrogramParams(PARAMS)),
+        ("ipd", sg.compute_ipd_spectrogram_batch, sg.compute_ipd_spectrogram,
+         sg.IPDSpectrogramParams(PARAMS, wrapped=True)),
+        ("ild", sg.compute_ild_spectrogram_batch, sg.compute_ild_spectrogram,
+         sg.ILDSpectrogramParams(PARAMS)),
+        ("ilr", sg.compute_ilr_spectrogram_batch, sg.compute_ilr_spectrogram,
+         sg.ILRSpectrogramParams(PARAMS)),
+    ]:
+        out = np.asarray(batch_fn(xb, P, dtype="float64"))
+        assert out.shape[0] == 3, kind
+        for i in range(3):
+            ref = np.asarray(single_fn([xb[i, 0], xb[i, 1]], P, dtype="float64").data)
+            np.testing.assert_allclose(out[i], ref, rtol=1e-10, atol=1e-12,
+                                       err_msg=kind)
+
+
+def test_batch_input_validation():
+    with pytest.raises(sg.InvalidInputError):
+        sg.compute_itd_spectrogram_batch(
+            np.zeros((3, 4, 100)), sg.ITDSpectrogramParams(PARAMS)
+        )
+    with pytest.raises(sg.InvalidInputError):
+        sg.compute_ild_spectrogram_batch(
+            np.zeros((2, 100)), sg.ILDSpectrogramParams(PARAMS)
+        )
+
+
+def _histogram_loop_reference(data, num_bins, value_range, exponent=1, normalize=False):
+    """The pre-vectorization per-frame loop, kept as the oracle."""
+    vmin, vmax = value_range
+    bin_width = (vmax - vmin) / num_bins
+    n_frames = data.shape[1]
+    hist = np.zeros((num_bins, n_frames), dtype=np.float64)
+    vals = data.astype(np.float64)
+    valid = np.isfinite(vals) & (vals >= vmin) & (vals <= vmax)
+    idx = np.minimum(np.floor((vals - vmin) / bin_width).astype(np.int64), num_bins - 1)
+    for frame in range(n_frames):
+        v = valid[:, frame]
+        np.add.at(hist[:, frame], idx[v, frame], 1.0)
+        if exponent != 1:
+            hist[:, frame] = hist[:, frame] ** exponent
+        if normalize:
+            s = hist[:, frame].sum()
+            if s > 0:
+                hist[:, frame] /= s
+    return hist
+
+
+@pytest.mark.parametrize("exponent,normalize", [(1, False), (3, False), (3, True)])
+def test_vectorized_histogram_matches_loop(exponent, normalize):
+    from spectrograms_tpu.binaural import _histogram_core
+
+    rng = np.random.default_rng(11)
+    data = rng.uniform(-30, 30, size=(40, 1000))
+    data[rng.uniform(size=data.shape) < 0.05] = np.nan
+    got = _histogram_core(data, 50, (-24.0, 24.0), exponent, normalize)
+    want = _histogram_loop_reference(data, 50, (-24.0, 24.0), exponent, normalize)
+    np.testing.assert_allclose(got, want, rtol=1e-12)

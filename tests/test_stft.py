@@ -137,3 +137,33 @@ def test_stft_plan_class():
     assert np.allclose(f3, np.asarray(res.data)[:, 3], atol=1e-10)
     with pytest.raises(sg.InvalidInputError):
         plan.compute_frame(x, 10_000)
+
+
+# ---- multichannel one-shots ------------------------------------------------
+
+def test_stft_multichannel_matches_per_channel():
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((3, 4000))
+    multi = np.asarray(sg.stft(x, 512, 128, dtype="float64"))
+    assert multi.shape[0] == 3
+    for c in range(3):
+        single = np.asarray(sg.stft(x[c], 512, 128, dtype="float64"))
+        np.testing.assert_allclose(multi[c], single, rtol=1e-12, atol=1e-12)
+
+
+def test_fft_and_power_spectrum_multichannel():
+    rng = np.random.default_rng(22)
+    x = rng.standard_normal((2, 300))
+    f = np.asarray(sg.fft(x, 512, dtype="float64"))
+    assert f.shape == (2, 257)
+    np.testing.assert_allclose(f[1], np.asarray(sg.fft(x[1], 512, dtype="float64")))
+    p = np.asarray(sg.power_spectrum(x, 512, window="hann", dtype="float64"))
+    assert p.shape == (2, 257)
+    np.testing.assert_allclose(
+        p[0], np.asarray(sg.power_spectrum(x[0], 512, window="hann", dtype="float64"))
+    )
+
+
+def test_stft_rejects_3d():
+    with pytest.raises(sg.InvalidInputError):
+        sg.stft(np.zeros((2, 2, 100)), 64, 32)
