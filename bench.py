@@ -146,7 +146,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "mel128_db+mfcc40 audio-seconds/s per chip (batch 32 x 10s @16kHz, f32)",
+                "metric": "mel128_db+mfcc40 audio-seconds/s per chip (batch 32 x 10s @16kHz, f32; baseline = same pipeline, NumPy on host CPU)",
                 "value": round(ours, 1),
                 "unit": "audio_s/s",
                 "vs_baseline": round(ours / baseline, 2),
@@ -161,15 +161,17 @@ def main() -> None:
             plan._mel_plan, batch.shape[1], dt, batch=BATCH, dtype="float32"
         )
         extra = (
-            f"; roofline {rep['pct_of_roofline']:.0f}% "
-            f"({rep['achieved_tflops']:.1f} TFLOP/s)"
+            f"; algo-roofline {rep['pct_of_roofline']:.0f}% "
+            f"({rep['achieved_tflops']:.1f} TFLOP/s), "
+            f"task-roofline (FFT-flops) {rep['pct_of_task_roofline']:.0f}% "
+            f"[method={plan._mel_plan.method}]"
         )
     except Exception:
         extra = ""
     print(
         f"# numpy-cpu baseline: {baseline:.1f} audio_s/s; "
         f"device {dt*1e3:.3f} ms/batch; "
-        f"target >10x -> {'PASS' if ours > 10 * baseline else 'MISS'}{extra}",
+        f"target >10x numpy-cpu -> {'PASS' if ours > 10 * baseline else 'MISS'}{extra}",
         file=sys.stderr,
     )
 

@@ -149,22 +149,55 @@ class MfccPlan:
             ).astype(self._dtype)
         )
 
-        def forward(x):
-            from .ops.framing import frame_signal
+        if getattr(self._mel_plan, "_pallas_factored", False):
+            # Fold the DCT (and C0 drop) straight into the fused kernel:
+            # signal in → liftered MFCCs out, one Pallas program.
+            from .ops.filterbanks import mel_filterbank
+            from .ops.pallas_factored import fused_factored_features
+            from .windows import make_window
 
-            frames = frame_signal(
-                x,
+            basis64 = _dct_lifter_matrix(
+                mel_params.n_mels, mfcc_params.n_mfcc, mfcc_params.lifter
+            )
+            if not mfcc_params.include_c0 and mfcc_params.n_mfcc > 1:
+                basis64 = basis64[:, 1:]
+            mapping64 = mel_filterbank(sample_rate_hz, stft_params.n_fft, mel_params)
+            window64 = make_window(stft_params.window, stft_params.n_fft, np.float64)
+            run = fused_factored_features(
                 stft_params.n_fft,
                 stft_params.hop_size,
-                stft_params.centre,
+                tuple(window64.tolist()),
+                tuple(map(tuple, mapping64.tolist())),
+                amp="decibels",
+                floor_db=float(log_params.floor_db),
+                precision=(
+                    "bf16"
+                    if self._mel_plan.precision == jax.lax.Precision.DEFAULT
+                    else "bf16x3"
+                ),
+                centre=stft_params.centre,
+                dct_key=tuple(map(tuple, basis64.tolist())),
+                interpret=jax.default_backend() == "cpu",
             )
-            log_mel_t = self._mel_plan._frames_to_bins(frames)  # (n_frames, n_mels)
-            return _mfcc_core(
-                log_mel_t, self._basis, mfcc_params.include_c0, mfcc_params.n_mfcc
-            ).T
+            self._forward = run
+            self._forward_batch = run
+        else:
+            def forward(x):
+                from .ops.framing import frame_signal
 
-        self._forward = jax.jit(forward)
-        self._forward_batch = jax.jit(jax.vmap(forward))
+                frames = frame_signal(
+                    x,
+                    stft_params.n_fft,
+                    stft_params.hop_size,
+                    stft_params.centre,
+                )
+                log_mel_t = self._mel_plan._frames_to_bins(frames)  # (n_frames, n_mels)
+                return _mfcc_core(
+                    log_mel_t, self._basis, mfcc_params.include_c0, mfcc_params.n_mfcc
+                ).T
+
+            self._forward = jax.jit(forward)
+            self._forward_batch = jax.jit(jax.vmap(forward))
 
     def compute(self, samples) -> Mfcc:
         x = jnp.asarray(samples).astype(self._dtype)

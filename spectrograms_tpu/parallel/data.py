@@ -19,16 +19,36 @@ from ..errors import InvalidInputError
 __all__ = ["shard_batch", "data_parallel_pipeline", "audio_seconds_per_second"]
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a (B, …) array with its leading axis sharded over ``axis``."""
+def shard_batch(batch, mesh: Mesh, axis: str = "data", pad: bool = True,
+                return_mask: bool = False):
+    """Place a (B, …) array with its leading axis sharded over ``axis``.
+
+    Uneven batches (B not a multiple of the mesh axis) are zero-padded up to
+    the next multiple by default; pass ``return_mask=True`` to also get the
+    (B_padded,) bool row-validity mask for downstream masking, or
+    ``pad=False`` to make uneven batches an error.
+    """
     x = jnp.asarray(batch)
-    if x.shape[0] % mesh.shape[axis] != 0:
-        raise InvalidInputError(
-            f"batch size {x.shape[0]} must divide evenly over mesh axis "
-            f"'{axis}' of size {mesh.shape[axis]} (pad the batch)"
-        )
+    n_dev = mesh.shape[axis]
+    b = x.shape[0]
+    rem = b % n_dev
+    if rem != 0:
+        if not pad:
+            raise InvalidInputError(
+                f"batch size {b} must divide evenly over mesh axis "
+                f"'{axis}' of size {n_dev} (or pass pad=True)"
+            )
+        extra = n_dev - rem
+        x = jnp.pad(x, [(0, extra)] + [(0, 0)] * (x.ndim - 1))
     spec = P(axis, *([None] * (x.ndim - 1)))
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    out = jax.device_put(x, NamedSharding(mesh, spec))
+    if return_mask:
+        import numpy as np
+
+        mask = np.zeros(x.shape[0], dtype=bool)
+        mask[:b] = True
+        return out, jnp.asarray(mask)
+    return out
 
 
 def data_parallel_pipeline(forward_one, mesh: Mesh, axis: str = "data"):

@@ -194,8 +194,9 @@ class StftResult:
         return self.data.__dlpack_device__()
 
 
-def _resolve_method(method: str, n_fft: int, dtype) -> str:
+def _resolve_method(method: str, n_fft: int, hop: int, dtype, freq_scale) -> str:
     from .ops.fft_factored import supports_factored
+    from .ops.pallas_factored import supports_factored_fusion
 
     if method not in ("auto", "matmul", "factored", "fft", "pallas"):
         raise InvalidInputError(
@@ -204,6 +205,16 @@ def _resolve_method(method: str, n_fft: int, dtype) -> str:
     if method == "auto":
         if np.dtype(dtype) == np.float64 or n_fft > MATMUL_MAX_N_FFT:
             return "fft"
+        # Measured on v5e (docs/KERNEL_AB.md): for filterbank scales the
+        # fused factored Pallas kernel beats the dense XLA matmul ~2.2×;
+        # everything else stays on the dense matmul DFT (compute-bound at
+        # ~roofline, and exact-shape agnostic).
+        if (
+            freq_scale in (FreqScale.MEL, FreqScale.LOG_HZ, FreqScale.ERB)
+            and supports_factored_fusion(n_fft, hop, dtype)
+            and jax.default_backend() == "tpu"
+        ):
+            return "pallas"
         return "matmul"
     if method == "factored" and not supports_factored(n_fft):
         raise InvalidInputError(
@@ -257,7 +268,7 @@ class SpectrogramPlan:
         stft_p = params.stft
         n_fft, hop = stft_p.n_fft, stft_p.hop_size
         sr = params.sample_rate_hz
-        self.method = _resolve_method(method, n_fft, self._dtype)
+        self.method = _resolve_method(method, n_fft, hop, self._dtype, freq_scale)
 
         window64 = make_window(stft_p.window, n_fft, np.float64)
         self._window = jnp.asarray(window64.astype(self._dtype))
@@ -321,16 +332,16 @@ class SpectrogramPlan:
 
         self._n_fft, self._hop, self._centre = n_fft, hop, stft_p.centre
 
+        self._pallas_factored = False
         if self.method == "pallas":
+            from .ops.pallas_factored import (
+                fused_factored_features,
+                supports_factored_fusion,
+            )
             from .ops.pallas_stft import fused_spectrogram, supports_pallas_fusion
 
             if freq_scale == FreqScale.CQT:
                 raise InvalidInputError("method='pallas' does not cover CQT plans")
-            if not supports_pallas_fusion(n_fft, hop, self._dtype):
-                raise InvalidInputError(
-                    "method='pallas' requires float32, hop | n_fft, hop % 128 == 0 "
-                    f"and n_fft <= 4096 (got n_fft={n_fft}, hop={hop})"
-                )
             if self.precision == jax.lax.Precision.HIGHEST:
                 raise InvalidInputError(
                     "method='pallas' runs on bf16 MXU passes (DEFAULT -> bf16, "
@@ -340,17 +351,44 @@ class SpectrogramPlan:
             pallas_precision = (
                 "bf16" if self.precision == jax.lax.Precision.DEFAULT else "bf16x3"
             )
-            self._pallas_run = fused_spectrogram(
-                n_fft,
-                hop,
-                tuple(window64.tolist()),
-                None if mapping is None else tuple(map(tuple, mapping.tolist())),
-                amp=amp_scale.value,
-                floor_db=self._floor_db if self._floor_db is not None else -80.0,
-                precision=pallas_precision,
-                centre=stft_p.centre,
-                interpret=jax.default_backend() == "cpu",
+            use_factored = mapping is not None and supports_factored_fusion(
+                n_fft, hop, self._dtype
             )
+            self._pallas_factored = use_factored
+            if use_factored:
+                # Fused Cooley-Tukey kernel: ~5× fewer MXU MACs than the
+                # dense DFT, Hermitian fold baked into the filterbank.
+                self._pallas_run = fused_factored_features(
+                    n_fft,
+                    hop,
+                    tuple(window64.tolist()),
+                    tuple(map(tuple, mapping.tolist())),
+                    amp=amp_scale.value,
+                    floor_db=self._floor_db if self._floor_db is not None else -80.0,
+                    precision=pallas_precision,
+                    centre=stft_p.centre,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            else:
+                if not supports_pallas_fusion(n_fft, hop, self._dtype):
+                    raise InvalidInputError(
+                        "method='pallas' requires float32 and either a "
+                        "filterbank scale with n_fft = 128·2^k (factored "
+                        "kernel, any hop) or hop | n_fft with hop % 128 == 0 "
+                        f"and n_fft <= 4096 (dense kernel); got n_fft={n_fft}, "
+                        f"hop={hop}"
+                    )
+                self._pallas_run = fused_spectrogram(
+                    n_fft,
+                    hop,
+                    tuple(window64.tolist()),
+                    None if mapping is None else tuple(map(tuple, mapping.tolist())),
+                    amp=amp_scale.value,
+                    floor_db=self._floor_db if self._floor_db is not None else -80.0,
+                    precision=pallas_precision,
+                    centre=stft_p.centre,
+                    interpret=jax.default_backend() == "cpu",
+                )
             # The fused kernel frames internally and handles (n,) and (B, n).
             self._forward = self._pallas_run
             self._forward_batch = self._pallas_run

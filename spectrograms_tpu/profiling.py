@@ -133,6 +133,15 @@ def plan_cost(plan, n_samples: int, batch: int = 1) -> CostEstimate:
         bytes_hbm += 2 * frames_elems * itemsize          # frames read ×2
         bytes_hbm += 2 * n_fft * k_bins * itemsize        # kernels
         bytes_hbm += n_frames * k_bins * itemsize         # output
+    elif plan.method == "pallas" and getattr(plan, "_pallas_factored", False):
+        # Fused Cooley-Tukey kernel (ops/pallas_factored.py): packed complex
+        # outer dots over r/2+1 Hermitian classes; inner r-DFT + twiddles on
+        # the VPU; everything VMEM-resident (signal in, features out).
+        r = n_fft // 128
+        classes = r // 2 + 1
+        flops += 2 * 4 * classes * 128 * 128 * n_frames   # outer (·,256)@(256,256)
+        flops += (2 * r * r + 6 * r) * 128 * n_frames     # inner DFT + twiddle (VPU)
+        bytes_hbm = (n_samples + n_frames * n_bins_out) * itemsize
     elif plan.method == "factored":
         # Two-stage Cooley-Tukey (ops/fft_factored.py): stage-1 real matmuls
         # contract 128, + twiddle + radix-2 tail + |·|².

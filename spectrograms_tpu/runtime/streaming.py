@@ -128,16 +128,25 @@ class StreamingSpectrogram:
     by that chunk, shaped (n_bins, k). Frame blocks are padded to
     ``block_frames`` so the device program compiles for one shape.
 
-    Note: streaming frames are *uncentred* (no n_fft//2 virtual padding) —
-    frame i covers samples [i*hop, i*hop + n_fft) of the stream.
+    Centre semantics follow the plan by default: for a ``centre=True`` plan
+    the framer is primed with ``n_fft//2`` zeros and :meth:`finish` pushes the
+    matching right padding, so the concatenated stream output equals
+    ``plan.compute(signal)`` frame-for-frame (reference streaming semantics:
+    ``/root/reference/src/spectrogram.rs:335,1500``). Pass ``centred=False``
+    for raw streaming where frame i covers stream samples
+    [i*hop, i*hop + n_fft) with no virtual padding.
     """
 
-    def __init__(self, plan, block_frames: int = 64, capacity: Optional[int] = None):
+    def __init__(self, plan, block_frames: int = 64, capacity: Optional[int] = None,
+                 centred: Optional[bool] = None):
         self.plan = plan
         self.block_frames = int(block_frames)
+        self.centred = bool(plan._centre) if centred is None else bool(centred)
         self.framer = StreamingFramer(
             plan._n_fft, plan._hop, capacity=capacity
         )
+        if self.centred:
+            self.framer.push(np.zeros(plan._n_fft // 2, dtype=np.float32))
 
     def process(self, chunk) -> np.ndarray:
         """Push a chunk, compute features for all completed frames."""
@@ -161,7 +170,19 @@ class StreamingSpectrogram:
         return np.concatenate(outs, axis=1)
 
     def finish(self) -> np.ndarray:
-        """Flush the final partial frame (zero-padded) through the plan."""
+        """Drain the stream tail.
+
+        Centred mode: pushes the ``n_fft//2`` right padding and emits every
+        remaining complete frame — total output now equals the offline
+        ``plan.compute`` of the full stream. Uncentred mode: flushes one
+        final zero-padded partial frame.
+        """
+        if self.centred:
+            outs = [self.process(np.zeros(self.plan._n_fft // 2, dtype=np.float32))]
+            outs = [o for o in outs if o.shape[1]]
+            if not outs:
+                return np.zeros((self.plan.n_output_bins, 0), dtype=np.float32)
+            return np.concatenate(outs, axis=1)
         frames = self.framer.flush()
         if frames.shape[0] == 0:
             return np.zeros((self.plan.n_output_bins, 0), dtype=np.float32)

@@ -78,3 +78,88 @@ def test_pallas_rejects_unsupported():
             dtype="float32",
             method="pallas",
         )
+
+
+# ---- fused factored kernel (round 2) ---------------------------------------
+
+def test_factored_fusion_supports_speech_preset():
+    from spectrograms_tpu.ops.pallas_factored import supports_factored_fusion
+
+    # The reference speech preset 512/160 (spectrogram.rs:4215) — round-1
+    # kernel excluded it (hop % 128 != 0); the factored kernel's frames-input
+    # path accepts any hop.
+    assert supports_factored_fusion(512, 160, np.float32)
+    assert supports_factored_fusion(1024, 256, np.float32)
+    assert not supports_factored_fusion(512, 160, np.float64)
+    assert not supports_factored_fusion(384, 128, np.float32)   # r=3
+    assert not supports_factored_fusion(8192, 1024, np.float32)
+
+
+def test_pallas_speech_preset_matches_xla():
+    params = sg.SpectrogramParams(sg.StftParams(512, 160), SR)
+    mel = sg.MelParams(40, 0.0, 8000.0, sg.MelNorm.SLANEY)
+    x = noise(16000, seed=5, dtype=np.float32)
+    ref = np.asarray(
+        sg.MelDbPlan(params, mel, DB, dtype="float32", method="matmul").compute_raw(x)
+    )
+    out = np.asarray(
+        sg.MelDbPlan(params, mel, DB, dtype="float32", method="pallas").compute_raw(x)
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-2)
+
+
+@pytest.mark.parametrize("scale", ["loghz", "erb"])
+def test_pallas_factored_other_filterbank_scales(scale):
+    params = sg.SpectrogramParams(sg.StftParams(1024, 256), SR)
+    if scale == "loghz":
+        sp = sg.LogHzParams(48, 50.0, 8000.0)
+        mk = lambda m: sg.LogHzPowerPlan(params, sp, dtype="float32", method=m)
+    else:
+        sp = sg.ErbParams(32, 50.0, 8000.0)
+        mk = lambda m: sg.ErbPowerPlan(params, sp, dtype="float32", method=m)
+    x = noise(16000, seed=6, dtype=np.float32)
+    ref = np.asarray(mk("matmul").compute_raw(x))
+    out = np.asarray(mk("pallas").compute_raw(x))
+    assert mk("pallas")._pallas_factored
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3 * np.max(np.abs(ref)))
+
+
+def test_fused_mfcc_plan_matches_xla():
+    from spectrograms_tpu.mfcc import MfccPlan
+
+    x = noise(16000, seed=7, dtype=np.float32)
+    kw = dict(
+        mel_params=MEL,
+        mfcc_params=sg.MfccParams(40),
+        log_params=sg.LogParams(-80.0),
+        dtype="float32",
+    )
+    ref_plan = MfccPlan(sg.StftParams(1024, 256), SR, **kw, method="matmul")
+    pal_plan = MfccPlan(sg.StftParams(1024, 256), SR, **kw, method="pallas")
+    ref = np.asarray(ref_plan.compute(x).data)
+    out = np.asarray(pal_plan.compute(x).data)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=5e-3 * np.abs(ref).max())
+    rb = np.asarray(ref_plan.compute_batch(np.stack([x, x * 0.5])))
+    ob = np.asarray(pal_plan.compute_batch(np.stack([x, x * 0.5])))
+    np.testing.assert_allclose(ob, rb, atol=5e-3 * np.abs(rb).max())
+
+
+def test_fused_mfcc_drops_c0():
+    from spectrograms_tpu.mfcc import MfccPlan
+
+    x = sine(440.0, dtype=np.float32)
+    kw = dict(
+        mel_params=MEL,
+        mfcc_params=sg.MfccParams(13, include_c0=False),
+        log_params=sg.LogParams(-80.0),
+        dtype="float32",
+    )
+    ref = MfccPlan(sg.StftParams(1024, 256), SR, **kw, method="matmul").compute(x)
+    out = MfccPlan(sg.StftParams(1024, 256), SR, **kw, method="pallas").compute(x)
+    assert out.data.shape == ref.data.shape == (12, ref.data.shape[1])
+    np.testing.assert_allclose(
+        np.asarray(out.data), np.asarray(ref.data),
+        atol=5e-3 * np.abs(np.asarray(ref.data)).max(),
+    )

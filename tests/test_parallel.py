@@ -52,7 +52,26 @@ def test_data_parallel_matches_single_device():
 def test_shard_batch_validation():
     mesh = create_device_mesh((8,), ("data",))
     with pytest.raises(sg.InvalidInputError):
-        shard_batch(np.ones((7, 100)), mesh)
+        shard_batch(np.ones((7, 100)), mesh, pad=False)
+
+
+def test_shard_batch_pads_uneven_with_mask():
+    mesh = create_device_mesh((8,), ("data",))
+    x = np.arange(7 * 100, dtype=np.float32).reshape(7, 100) + 1.0
+    out, mask = shard_batch(x, mesh, return_mask=True)
+    assert out.shape == (8, 100) and mask.shape == (8,)
+    assert bool(mask[:7].all()) and not bool(mask[7])
+    np.testing.assert_array_equal(np.asarray(out)[:7], x)
+    np.testing.assert_array_equal(np.asarray(out)[7], 0.0)
+    # padded rows run through a data-parallel program without disturbing the
+    # real rows
+    plan = _plan()
+    fn = data_parallel_pipeline(plan._forward_impl, mesh)
+    signals = np.stack([noise(4096, seed=i).astype(np.float32) for i in range(7)])
+    padded, m = shard_batch(signals, mesh, return_mask=True)
+    feats = np.asarray(fn(padded))
+    single = np.asarray(plan.compute_batch(signals))
+    assert np.allclose(feats[np.asarray(m)], single, atol=1e-4)
 
 
 @pytest.mark.parametrize("n_len", [16000, 16001, 40000, 5000])
