@@ -66,14 +66,15 @@ def bench_tpu(batch: np.ndarray) -> "tuple[float, float]":
     step = plan._forward_batch.__wrapped__  # unjitted batched forward
 
     def chained(k):
+        # lax.fori_loop keeps ONE instance of the pipeline in the compiled
+        # program (k inlined copies of the Pallas kernel would multiply
+        # compile time over the remote-compile tunnel); the carried scalar
+        # written into a sample is a true data dependency per iteration.
         @jax.jit
         def f(xb):
-            acc = jnp.float32(0.0)
-            for _ in range(k):
-                # Write the carried scalar into one sample: a true data
-                # dependency the compiler cannot distribute out of the DFT.
-                acc = acc + jnp.sum(step(xb.at[:, 0].set(acc)))
-            return acc
+            def body(_, acc):
+                return acc + jnp.sum(step(xb.at[:, 0].set(acc)))
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
         return f
 
     xd = jax.device_put(jnp.asarray(batch))

@@ -63,6 +63,10 @@ EXAMPLES = [
     "istft_roundtrip.py",
     "image_filtering.py",
     "serialization.py",
+    "stft_multichannel.py",
+    "resample_rates.py",
+    "mdct_codec.py",
+    "filters_minphase.py",
 ]
 
 REPO = Path(__file__).resolve().parents[1]
