@@ -234,6 +234,7 @@ def _time_ours_tpu_slope(plan, x):
 def run(include_tpu: bool = True):
     import jax
 
+    jax.config.update("jax_enable_x64", True)  # f64 rows run on the CPU backend
     _build_fixtures()
     consts = _consts()
     np_ops = {

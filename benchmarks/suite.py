@@ -40,18 +40,25 @@ def _slope_time(make_chained, arg):
 
 
 def _chain(step):
-    """step: (x) -> array. Returns k-chained scalar-checksum builder."""
+    """step: (x) -> array. Returns k-chained scalar-checksum builder.
+
+    Chains via lax.fori_loop so the compiled program holds ONE instance of
+    the pipeline regardless of k (k inlined copies of a Pallas kernel
+    overwhelm the remote compile helper).
+    """
+    import jax
     import jax.numpy as jnp
 
     def make(k):
         def f(x):
-            acc = jnp.float32(0.0) if x.dtype == jnp.float32 else jnp.float64(0.0)
-            for _ in range(k):
+            zero = jnp.float32(0.0) if x.dtype == jnp.float32 else jnp.float64(0.0)
+
+            def body(_, acc):
                 if x.ndim == 2:
-                    acc = acc + jnp.sum(step(x.at[:, 0].set(acc.astype(x.dtype))))
-                else:
-                    acc = acc + jnp.sum(step(x.at[0].set(acc.astype(x.dtype))))
-            return acc
+                    return acc + jnp.sum(step(x.at[:, 0].set(acc.astype(x.dtype))))
+                return acc + jnp.sum(step(x.at[0].set(acc.astype(x.dtype))))
+
+            return jax.lax.fori_loop(0, k, body, zero)
         return f
 
     return make
@@ -134,7 +141,7 @@ def config3_mfcc_delta():
     }
 
 
-def config4_cqt_chroma_mdct(batch: int = 16):
+def config4_cqt_chroma_mdct(batch: int = 64):
     """CQT-84 + chromagram + MDCT/IMDCT round-trip, 44.1 kHz music clips.
 
     vmapped over a clip batch — a single 5 s clip leaves the chip ~200×
@@ -227,8 +234,13 @@ def main():
     ):
         try:
             r = fn()
-        except Exception as e:  # pragma: no cover
-            r = {"config": fn.__name__, "error": str(e)[:500]}
+        except Exception:
+            # The remote compile helper occasionally crashes (HTTP 500);
+            # one retry resolves transient failures.
+            try:
+                r = fn()
+            except Exception as e:  # pragma: no cover
+                r = {"config": fn.__name__, "error": str(e)[:500]}
         print(json.dumps(r), flush=True)
         results.append(r)
     out = Path(__file__).parent / "results.json"

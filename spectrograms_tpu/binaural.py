@@ -163,9 +163,10 @@ def _histogram_core(
         np.floor((vals - vmin) / bin_width).astype(np.int64), num_bins - 1
     )
     frame_col = np.broadcast_to(np.arange(n_frames, dtype=np.int64), vals.shape)
-    flat = idx[valid] * n_frames + frame_col[valid]
-    hist = np.bincount(flat, minlength=num_bins * n_frames).astype(np.float64)
-    hist = hist.reshape(num_bins, n_frames)
+    # Invalid entries route to a spill slot (cheaper than boolean gathers).
+    flat = np.where(valid, idx * n_frames + frame_col, num_bins * n_frames)
+    hist = np.bincount(flat.ravel(), minlength=num_bins * n_frames + 1)
+    hist = hist[: num_bins * n_frames].astype(np.float64).reshape(num_bins, n_frames)
     if exponent != 1:
         hist **= exponent
     if normalize:

