@@ -74,7 +74,7 @@ def config1_linear_power_f64():
     x = np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
     params = sg.SpectrogramParams(sg.StftParams(256, 128), float(sr))
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    with jax.enable_x64(True), jax.default_device(cpu):
         plan = sg.LinearPowerPlan(params, dtype="float64")
         xd = jax.device_put(jax.numpy.asarray(x, dtype=jax.numpy.float64), cpu)
         step = plan._forward_impl
@@ -99,7 +99,7 @@ def config2_mel_db_batch():
     params = sg.SpectrogramParams(sg.StftParams(1024, 256), float(sr))
     mel = sg.MelParams(128, 0.0, 8000.0, sg.MelNorm.SLANEY)
     plan = sg.MelDbPlan(params, mel, sg.LogParams(-80.0), dtype="float32")
-    step = jax.vmap(plan._forward_impl)
+    step = plan._forward_batch.__wrapped__  # pallas fused kernel under auto on TPU
     dt = _slope_time(_chain(step), jax.device_put(jnp.asarray(batch)))
     return {
         "config": "2: mel128+dB batch 32x10s f32",
@@ -163,14 +163,17 @@ def config4_cqt_chroma_mdct(batch: int = 64):
     chroma_plan = ChromaPlan(params.stft, float(sr), dtype="float32")
     mdct_params = sg.MdctParams.sine_window(512)
 
-    def one(sig):
-        a = cqt_plan._forward_impl(sig)
-        b = chroma_plan._forward(sig)
-        c = sg.mdct(sig, mdct_params, dtype="float32")
-        back = sg.imdct(c, mdct_params, original_length=sig.shape[0])
-        return jnp.sum(a) + jnp.sum(b) + jnp.sum(back)
+    chroma_fwd = chroma_plan._forward_batch.__wrapped__  # pallas-fused on TPU
 
-    step = jax.vmap(one)
+    def mdct_one(sig):
+        c = sg.mdct(sig, mdct_params, dtype="float32")
+        return sg.imdct(c, mdct_params, original_length=sig.shape[0])
+
+    def step(xb):
+        a = jax.vmap(cqt_plan._forward_impl)(xb)
+        b = chroma_fwd(xb)
+        back = jax.vmap(mdct_one)(xb)
+        return jnp.sum(a) + jnp.sum(b) + jnp.sum(back)
     dt = _slope_time(_chain(step), jax.device_put(jnp.asarray(xb)))
     return {
         "config": f"4: CQT-84 + chroma + MDCT roundtrip batch {batch}x5s@44.1kHz f32",
@@ -219,11 +222,9 @@ def config5_streaming_image():
 
 
 def main():
-    import jax
-
-    # f64 (config 1) verifies on the CPU backend; explicit-dtype f32 plans are
-    # unaffected by enabling x64 globally.
-    jax.config.update("jax_enable_x64", True)
+    # x64 is scoped to config 1 (jax.enable_x64 context): the TPU configs
+    # must trace in x32 — global x64 mode injects 64-bit types Mosaic cannot
+    # compile (the remote compile helper crashes on config 3 otherwise).
     results = []
     for fn in (
         config1_linear_power_f64,

@@ -126,8 +126,22 @@ class ChromaPlan:
         self.params = chroma_params
         self._dtype = parse_dtype(dtype)
         sp = SpectrogramParams(stft_params, sample_rate_hz)
+        from .ops.pallas_factored import supports_factored_fusion as _sff
+
+        _use_pallas = (
+            method in ("auto", "pallas")
+            and np.dtype(self._dtype) == np.float32
+            and _sff(stft_params.n_fft, stft_params.hop_size, self._dtype)
+            and (method == "pallas" or jax.default_backend() == "tpu")
+        )
+        # The linear-magnitude helper plan backs the non-fused path and the
+        # streaming frame API; the fused chroma kernel replaces its forward.
         self._mag_plan = SpectrogramPlan(
-            sp, FreqScale.LINEAR, AmpScale.MAGNITUDE, dtype=self._dtype, method=method
+            sp,
+            FreqScale.LINEAR,
+            AmpScale.MAGNITUDE,
+            dtype=self._dtype,
+            method="auto" if _use_pallas else method,
         )
         self._fb_t = jnp.asarray(
             chroma_filterbank(sample_rate_hz, stft_params.n_fft, chroma_params)
@@ -135,16 +149,54 @@ class ChromaPlan:
         )
         self._stft_params = stft_params
 
-        def forward(x):
-            frames = frame_signal(
-                x, stft_params.n_fft, stft_params.hop_size, stft_params.centre
-            )
-            mag_t = self._mag_plan._frames_to_bins(frames)  # (n_frames, n_bins)
-            chroma_t = jnp.matmul(mag_t, self._fb_t, precision=jax.lax.Precision.HIGHEST)
-            return apply_chroma_normalization(chroma_t, chroma_params.norm).T
+        use_pallas = _use_pallas
+        self._pallas_factored = use_pallas
+        if use_pallas:
+            # Fused kernel with the chroma filterbank folded in: the sqrt
+            # rides pre_amp="magnitude" so the bank consumes |X| like the
+            # reference (chroma.rs:365-403). ~5× fewer MXU MACs than the
+            # dense DFT at n_fft=4096.
+            from .ops.pallas_factored import fused_factored_features
+            from .windows import make_window
 
-        self._forward = jax.jit(forward)
-        self._forward_batch = jax.jit(jax.vmap(forward))
+            window64 = make_window(stft_params.window, stft_params.n_fft, np.float64)
+            fb64 = chroma_filterbank(sample_rate_hz, stft_params.n_fft, chroma_params)
+            run = fused_factored_features(
+                stft_params.n_fft,
+                stft_params.hop_size,
+                tuple(window64.tolist()),
+                tuple(map(tuple, fb64.tolist())),
+                amp="power",
+                pre_amp="magnitude",
+                precision="bf16x3",
+                centre=stft_params.centre,
+                interpret=jax.default_backend() == "cpu",
+            )
+
+            def forward(x):
+                ct = run(x)  # (12, n_frames)
+                return apply_chroma_normalization(ct.T, chroma_params.norm).T
+
+            def forward_batch(xb):
+                cb = run(xb)  # (B, 12, n_frames)
+                normed = apply_chroma_normalization(
+                    jnp.swapaxes(cb, 1, 2), chroma_params.norm
+                )
+                return jnp.swapaxes(normed, 1, 2)
+
+            self._forward = jax.jit(forward)
+            self._forward_batch = jax.jit(forward_batch)
+        else:
+            def forward(x):
+                frames = frame_signal(
+                    x, stft_params.n_fft, stft_params.hop_size, stft_params.centre
+                )
+                mag_t = self._mag_plan._frames_to_bins(frames)  # (n_frames, n_bins)
+                chroma_t = jnp.matmul(mag_t, self._fb_t, precision=jax.lax.Precision.HIGHEST)
+                return apply_chroma_normalization(chroma_t, chroma_params.norm).T
+
+            self._forward = jax.jit(forward)
+            self._forward_batch = jax.jit(jax.vmap(forward))
 
     def compute(self, samples) -> Chromagram:
         x = jnp.asarray(samples).astype(self._dtype)

@@ -102,6 +102,7 @@ def _kernel(
     r: int,
     classes: int,
     amp: str,
+    pre_amp: str,
     floor_db: float,
     x3: bool,
     with_dct: bool,
@@ -170,6 +171,10 @@ def _kernel(
             xx = xx + jnp.dot(bb_lo, w2_hi_ref[:], preferred_element_type=jnp.float32)
 
         p = xx[:, :128] * xx[:, :128] + xx[:, 128:] * xx[:, 128:]  # (tile_f, 128)
+        if pre_amp == "magnitude":
+            # e.g. chroma: the filterbank consumes |X|, not |X|² — the sqrt
+            # must precede the matmul (chroma.rs:365-403).
+            p = jnp.sqrt(p)
         part = dot3(p, map_ref[c * 128 : (c + 1) * 128, :])
         feat = part if feat is None else feat + part
 
@@ -196,8 +201,9 @@ def fused_factored_features(
     precision: str = "bf16x3",
     centre: bool = True,
     dct_key=None,              # optional (n_out, n_coef) matrix, applied after amp
-    tile_frames: int = 256,
+    tile_frames: int = 0,      # 0 = auto (VMEM-aware)
     interpret: bool = False,
+    pre_amp: str = "none",     # "magnitude" applies sqrt BEFORE the filterbank
 ):
     """Build the fused program: (B, n) f32 signal → (B, n_out, n_frames).
 
@@ -220,6 +226,8 @@ def fused_factored_features(
         )
     if amp not in ("power", "magnitude", "decibels"):
         raise InvalidInputError(f"unknown amp {amp!r}")
+    if pre_amp not in ("none", "magnitude"):
+        raise InvalidInputError(f"unknown pre_amp {pre_amp!r}")
     if precision not in ("bf16", "bf16x3"):
         raise InvalidInputError(f"unknown precision {precision!r}")
 
@@ -228,7 +236,13 @@ def fused_factored_features(
     n_bins = n_fft // 2 + 1
     halo = hop % 128 == 0 and n_fft % hop == 0
     k = n_fft // hop if halo else 0
-    tile_f = int(tile_frames)
+    if tile_frames:
+        tile_f = int(tile_frames)
+    else:
+        # VMEM-aware tile: the frame tile + windowed chunks are ~2 × tile_f ×
+        # n_fft f32 — keep that under ~2 MB so constants, stage temporaries
+        # and double-buffered IO fit the ~16 MB/core comfortably.
+        tile_f = max(64, min(256, (2 * 1024 * 1024) // (n_fft * 4)))
     x3 = precision == "bf16x3"
 
     # ---- host-built constants (all f64 → f32/bf16 at the edge) -------------
@@ -302,6 +316,7 @@ def fused_factored_features(
         r=r,
         classes=classes,
         amp=amp,
+        pre_amp=pre_amp,
         floor_db=float(floor_db),
         x3=x3,
         with_dct=with_dct,
@@ -371,4 +386,12 @@ def fused_factored_features(
         )(*args)
         return out[:, :nf, :n_final].transpose(0, 2, 1)
 
-    return run
+    def run_x32(x):
+        # Mosaic cannot compile the 64-bit index/constant types that global
+        # x64 mode injects during tracing (the remote compile helper crashes);
+        # the kernel is pure f32/bf16, so trace it in x32 regardless.
+        with jax.enable_x64(False):
+            return run(x)
+
+    run_x32.__wrapped__ = run.__wrapped__
+    return run_x32

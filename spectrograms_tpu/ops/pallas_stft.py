@@ -286,4 +286,11 @@ def fused_spectrogram(
         # (B, nt*tile_f, n_out_pad) → (B, n_out, nf)
         return out[:, :nf, :n_out].transpose(0, 2, 1)
 
-    return run
+    def run_x32(x):
+        # Trace in x32 regardless of global x64 mode — Mosaic rejects the
+        # 64-bit types x64 tracing injects (remote compile helper crash).
+        with jax.enable_x64(False):
+            return run(x)
+
+    run_x32.__wrapped__ = run.__wrapped__
+    return run_x32

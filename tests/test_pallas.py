@@ -163,3 +163,46 @@ def test_fused_mfcc_drops_c0():
         np.asarray(out.data), np.asarray(ref.data),
         atol=5e-3 * np.abs(np.asarray(ref.data)).max(),
     )
+
+
+@pytest.mark.parametrize("n_fft,hop", [(2048, 512), (4096, 1024)])
+def test_pallas_factored_large_n_fft(n_fft, hop):
+    params = sg.SpectrogramParams(sg.StftParams(n_fft, hop), 44100.0)
+    mel = sg.MelParams(96, 0.0, 22050.0, sg.MelNorm.SLANEY)
+    x = noise(44100, seed=9, dtype=np.float32)
+    ref = np.asarray(sg.MelDbPlan(params, mel, DB, dtype="float32",
+                                  method="fft").compute_raw(x))
+    out = np.asarray(sg.MelDbPlan(params, mel, DB, dtype="float32",
+                                  method="pallas").compute_raw(x))
+    np.testing.assert_allclose(out, ref, atol=2e-2)
+
+
+def test_chroma_pallas_matches_matmul():
+    from spectrograms_tpu.chroma import ChromaPlan
+
+    sr = 22050.0
+    x = noise(22050, seed=11, dtype=np.float32)
+    ref_plan = ChromaPlan(sg.StftParams(4096, 1024), sr, dtype="float32",
+                          method="matmul")
+    pal_plan = ChromaPlan(sg.StftParams(4096, 1024), sr, dtype="float32",
+                          method="pallas")
+    assert pal_plan._pallas_factored
+    ref = np.asarray(ref_plan.compute(x).data)
+    out = np.asarray(pal_plan.compute(x).data)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+    rb = np.asarray(ref_plan.compute_batch(np.stack([x, 0.5 * x])))
+    ob = np.asarray(pal_plan.compute_batch(np.stack([x, 0.5 * x])))
+    np.testing.assert_allclose(ob, rb, atol=1e-4)
+
+
+def test_pallas_runner_ignores_global_x64(monkeypatch):
+    # Mosaic cannot compile 64-bit index types; the runner must trace in x32
+    # even when the caller enabled x64 (regression: suite config 3 crash).
+    import jax
+
+    x = noise(16000, seed=12, dtype=np.float32)
+    plan = sg.MelDbPlan(PARAMS, MEL, DB, dtype="float32", method="pallas")
+    ref = np.asarray(plan.compute_raw(x))
+    with jax.enable_x64(True):
+        out = np.asarray(plan.compute_raw(x))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
