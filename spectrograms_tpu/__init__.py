@@ -323,6 +323,7 @@ __all__ = [
     "compute_ipd_spectrogram_batch",
     "compute_ild_spectrogram_batch",
     "compute_ilr_spectrogram_batch",
+    "FftPlanner",
     # sources
     "SpectrogramSource",
     "PlanSource",

@@ -1808,6 +1808,41 @@ class IlrSpectrogram:
         ...
 
 
+class FftPlanner:
+    """Caching one-shot FFT wrapper (parity with ``FftPlanner``,
+    ``/root/reference/src/spectrogram.rs:4977-5240``).
+
+    The reference's planner caches twiddle-factor plans per FFT size; here
+    jit's compile cache (keyed on input shape + ``n_fft``) plays that role,
+    so this class is a thin stateless veneer kept for API familiarity —
+    repeated calls at one size reuse the compiled program exactly like the
+    reference reuses a cached plan.
+    """
+    def __init__(self, dtype = None):
+        """Construct and validate; raises InvalidInputError on bad arguments."""
+        ...
+
+    def fft(self, samples, n_fft):
+        """Forward r2c FFT (zero-padded up to n_fft). → (n_fft//2+1,) complex."""
+        ...
+
+    def irfft(self, spectrum, n_fft):
+        """c2r inverse FFT with 1/N normalization."""
+        ...
+
+    def magnitude_spectrum(self, samples, n_fft, window = None):
+        """|X| of an optionally windowed zero-padded signal."""
+        ...
+
+    def power_spectrum(self, samples, n_fft, window = None):
+        """|X|² of an optionally windowed zero-padded signal."""
+        ...
+
+    def rfft(self, samples, n_fft):
+        """Magnitude of the r2c FFT (the reference's naming)."""
+        ...
+
+
 class SpectrogramSource(Protocol):
     """A source of frame-wise features: signal → (n_bands, n_frames)."""
     def __init__(self, *args, **kwargs):

@@ -170,3 +170,51 @@ def _install_oneshots():
 
 
 _install_oneshots()
+
+
+class FftPlanner:
+    """Caching one-shot FFT wrapper (parity with ``FftPlanner``,
+    ``/root/reference/src/spectrogram.rs:4977-5240``).
+
+    The reference's planner caches twiddle-factor plans per FFT size; here
+    jit's compile cache (keyed on input shape + ``n_fft``) plays that role,
+    so this class is a thin stateless veneer kept for API familiarity —
+    repeated calls at one size reuse the compiled program exactly like the
+    reference reuses a cached plan.
+    """
+
+    def __init__(self, dtype=None):
+        self._dtype = dtype
+
+    def fft(self, samples, n_fft: int):
+        """Forward r2c FFT (zero-padded up to n_fft). → (n_fft//2+1,) complex."""
+        from .ops import stft as _ops
+
+        return _ops.fft(samples, n_fft, dtype=self._dtype)
+
+    def rfft(self, samples, n_fft: int):
+        """Magnitude of the r2c FFT (the reference's naming)."""
+        from .ops import stft as _ops
+
+        return _ops.rfft(samples, n_fft, dtype=self._dtype)
+
+    def irfft(self, spectrum, n_fft: int):
+        """c2r inverse FFT with 1/N normalization."""
+        from .ops import stft as _ops
+
+        return _ops.irfft(spectrum, n_fft)
+
+    def power_spectrum(self, samples, n_fft: int, window=None):
+        """|X|² of an optionally windowed zero-padded signal."""
+        from .ops import stft as _ops
+
+        return _ops.power_spectrum(samples, n_fft, window, dtype=self._dtype)
+
+    def magnitude_spectrum(self, samples, n_fft: int, window=None):
+        """|X| of an optionally windowed zero-padded signal."""
+        from .ops import stft as _ops
+
+        return _ops.magnitude_spectrum(samples, n_fft, window, dtype=self._dtype)
+
+
+__all__.append("FftPlanner")

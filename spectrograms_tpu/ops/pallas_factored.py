@@ -93,7 +93,7 @@ def _kernel(
     map_ref,        # (classes*128, n_out_pad) f32 folded filterbank
     dct_ref,        # (n_out_pad, dct_pad) f32 (dummy when no dct)
     out_ref,        # (1, tile_f, out_cols) f32
-    fr_ref,         # scratch (tile_f, n_fft) f32 frame tile
+    fr_ref,         # scratch (tile_f, n_fft) f32 frame tile (halo mode)
     *,
     halo: bool,
     tile_f: int,
@@ -123,6 +123,9 @@ def _kernel(
 
     if halo:
         # Assemble the frame tile from hop-strided rows (i and i+1 blocks).
+        # (Slicing the chunks straight out of `full` would avoid this scratch
+        # round-trip, but the unaligned sublane row offsets hang the Mosaic
+        # compile — measured, do not "optimize" this back.)
         full = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)  # (2·tile_f, hop)
         for j in range(k):
             fr_ref[:, j * hop : (j + 1) * hop] = full[j : j + tile_f, :]
