@@ -151,6 +151,15 @@ class ChromaPlan:
 
         use_pallas = _use_pallas
         self._pallas_factored = use_pallas
+
+        def xla_forward(x):
+            frames = frame_signal(
+                x, stft_params.n_fft, stft_params.hop_size, stft_params.centre
+            )
+            mag_t = self._mag_plan._frames_to_bins(frames)  # (n_frames, n_bins)
+            chroma_t = jnp.matmul(mag_t, self._fb_t, precision=jax.lax.Precision.HIGHEST)
+            return apply_chroma_normalization(chroma_t, chroma_params.norm).T
+
         if use_pallas:
             # Fused kernel with the chroma filterbank folded in: the sqrt
             # rides pre_amp="magnitude" so the bank consumes |X| like the
@@ -184,19 +193,15 @@ class ChromaPlan:
                 )
                 return jnp.swapaxes(normed, 1, 2)
 
-            self._forward = jax.jit(forward)
-            self._forward_batch = jax.jit(forward_batch)
-        else:
-            def forward(x):
-                frames = frame_signal(
-                    x, stft_params.n_fft, stft_params.hop_size, stft_params.centre
-                )
-                mag_t = self._mag_plan._frames_to_bins(frames)  # (n_frames, n_bins)
-                chroma_t = jnp.matmul(mag_t, self._fb_t, precision=jax.lax.Precision.HIGHEST)
-                return apply_chroma_normalization(chroma_t, chroma_params.norm).T
+            from .ops.gradients import pallas_forward_xla_grad
 
-            self._forward = jax.jit(forward)
-            self._forward_batch = jax.jit(jax.vmap(forward))
+            self._forward = pallas_forward_xla_grad(jax.jit(forward), xla_forward)
+            self._forward_batch = pallas_forward_xla_grad(
+                jax.jit(forward_batch), jax.vmap(xla_forward)
+            )
+        else:
+            self._forward = jax.jit(xla_forward)
+            self._forward_batch = jax.jit(jax.vmap(xla_forward))
 
     def compute(self, samples) -> Chromagram:
         x = jnp.asarray(samples).astype(self._dtype)

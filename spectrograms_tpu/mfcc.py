@@ -149,6 +149,20 @@ class MfccPlan:
             ).astype(self._dtype)
         )
 
+        def xla_forward(x):
+            from .ops.framing import frame_signal
+
+            frames = frame_signal(
+                x,
+                stft_params.n_fft,
+                stft_params.hop_size,
+                stft_params.centre,
+            )
+            log_mel_t = self._mel_plan._frames_to_bins(frames)  # (n_frames, n_mels)
+            return _mfcc_core(
+                log_mel_t, self._basis, mfcc_params.include_c0, mfcc_params.n_mfcc
+            ).T
+
         if getattr(self._mel_plan, "_pallas_factored", False):
             # Fold the DCT (and C0 drop) straight into the fused kernel:
             # signal in → liftered MFCCs out, one Pallas program.
@@ -179,25 +193,15 @@ class MfccPlan:
                 dct_key=tuple(map(tuple, basis64.tolist())),
                 interpret=jax.default_backend() == "cpu",
             )
-            self._forward = run
-            self._forward_batch = run
+            from .ops.gradients import pallas_forward_xla_grad
+
+            self._forward = pallas_forward_xla_grad(run, xla_forward)
+            self._forward_batch = pallas_forward_xla_grad(
+                run, jax.vmap(xla_forward)
+            )
         else:
-            def forward(x):
-                from .ops.framing import frame_signal
-
-                frames = frame_signal(
-                    x,
-                    stft_params.n_fft,
-                    stft_params.hop_size,
-                    stft_params.centre,
-                )
-                log_mel_t = self._mel_plan._frames_to_bins(frames)  # (n_frames, n_mels)
-                return _mfcc_core(
-                    log_mel_t, self._basis, mfcc_params.include_c0, mfcc_params.n_mfcc
-                ).T
-
-            self._forward = jax.jit(forward)
-            self._forward_batch = jax.jit(jax.vmap(forward))
+            self._forward = jax.jit(xla_forward)
+            self._forward_batch = jax.jit(jax.vmap(xla_forward))
 
     def compute(self, samples) -> Mfcc:
         x = jnp.asarray(samples).astype(self._dtype)

@@ -390,8 +390,17 @@ class SpectrogramPlan:
                     interpret=jax.default_backend() == "cpu",
                 )
             # The fused kernel frames internally and handles (n,) and (B, n).
-            self._forward = self._pallas_run
-            self._forward_batch = self._pallas_run
+            # Gradients flow through the mathematically-equivalent XLA path
+            # (pallas_call has no VJP; the dense DFT constants are built
+            # above for exactly this + the streaming path).
+            from .ops.gradients import pallas_forward_xla_grad
+
+            self._forward = pallas_forward_xla_grad(
+                self._pallas_run, self._forward_impl
+            )
+            self._forward_batch = pallas_forward_xla_grad(
+                self._pallas_run, jax.vmap(self._forward_impl)
+            )
             self._forward_frames = jax.jit(self._frames_to_bins)
         else:
             self._forward = jax.jit(self._forward_impl)

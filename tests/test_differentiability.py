@@ -102,3 +102,37 @@ def test_vmap_jit_compose():
     # grad-of-vmap
     g = jax.grad(lambda b: jnp.sum(jax.vmap(plan._forward_impl)(b)))(xb)
     assert g.shape == xb.shape
+
+
+def test_grad_through_pallas_plan_matches_matmul():
+    """Pallas plans are differentiable: fast kernel forward, XLA backward."""
+    params = sg.SpectrogramParams(sg.StftParams(512, 128), 16000.0)
+    mel = sg.MelParams(40, 0.0, 8000.0, sg.MelNorm.SLANEY)
+    pal = sg.MelDbPlan(params, mel, sg.LogParams(-80.0), dtype="float32",
+                       method="pallas")
+    ref = sg.MelDbPlan(params, mel, sg.LogParams(-80.0), dtype="float32",
+                       method="matmul")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(4000),
+                    dtype=jnp.float32)
+
+    g_pal = jax.grad(lambda s: jnp.sum(pal._forward(s) ** 2))(x)
+    g_ref = jax.grad(lambda s: jnp.sum(ref._forward(s) ** 2))(x)
+    assert np.all(np.isfinite(np.asarray(g_pal)))
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-3 * np.abs(g_ref).max())
+
+
+def test_grad_through_fused_mfcc_plan():
+    from spectrograms_tpu.mfcc import MfccPlan
+
+    plan = MfccPlan(
+        sg.StftParams(512, 128), 16000.0,
+        mel_params=sg.MelParams(40, 0.0, 8000.0, sg.MelNorm.SLANEY),
+        mfcc_params=sg.MfccParams(13), log_params=sg.LogParams(-80.0),
+        dtype="float32", method="pallas",
+    )
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(4000),
+                    dtype=jnp.float32)
+    g = jax.grad(lambda s: jnp.sum(plan._forward(s)))(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).max() > 0
