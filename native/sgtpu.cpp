@@ -462,7 +462,7 @@ struct Loader {
 
 void flush_staging_locked(Loader* L) {
   while (static_cast<int64_t>(L->staging.size()) >= L->batch ||
-         (L->files_done == static_cast<int64_t>(L->paths.size()) &&
+         (L->files_done >= static_cast<int64_t>(L->paths.size()) &&
           !L->staging.empty())) {
     const int64_t n =
         std::min<int64_t>(L->batch, static_cast<int64_t>(L->staging.size()));
@@ -485,7 +485,7 @@ void flush_staging_locked(Loader* L) {
     L->queue.push_back(std::move(b));
     L->cv_get.notify_one();
     if (static_cast<int64_t>(L->staging.size()) < L->batch &&
-        L->files_done != static_cast<int64_t>(L->paths.size())) {
+        L->files_done < static_cast<int64_t>(L->paths.size())) {
       break;
     }
   }
@@ -577,7 +577,7 @@ SG_API int64_t sg_loader_next(void* h, float* out_data, int64_t* out_lengths,
   std::unique_lock<std::mutex> lk(L->mu);
   L->cv_get.wait(lk, [L] {
     return !L->queue.empty() || L->closed ||
-           (L->files_done == static_cast<int64_t>(L->paths.size()) &&
+           (L->files_done >= static_cast<int64_t>(L->paths.size()) &&
             L->staging.empty());
   });
   if (L->queue.empty()) {

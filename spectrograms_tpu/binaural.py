@@ -408,12 +408,14 @@ _BATCH_FN_CACHE: dict = {}
 
 def _batched_fn(kind: str, params, dt):
     """jitted vmapped (B, 2, n) → (B, bins, frames) program, cached per config."""
+    key = (kind, params, np.dtype(dt).str)
     try:
-        key = (kind, params, np.dtype(dt).str)
+        cached = _BATCH_FN_CACHE.get(key)  # hashing happens here
     except TypeError:  # unhashable custom window — build uncached
         key = None
-    if key is not None and key in _BATCH_FN_CACHE:
-        return _BATCH_FN_CACHE[key]
+        cached = None
+    if cached is not None:
+        return cached
 
     start_bin, stop_bin, bin_width = _bin_range(params)
     sp = params.spectrogram_params

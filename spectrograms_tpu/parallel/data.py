@@ -39,6 +39,16 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data", pad: bool = True,
                 f"'{axis}' of size {n_dev} (or pass pad=True)"
             )
         extra = n_dev - rem
+        if not return_mask:
+            import warnings
+
+            warnings.warn(
+                f"shard_batch zero-padded the batch from {b} to {b + extra} "
+                f"rows to divide over the '{axis}' mesh axis; pass "
+                "return_mask=True to mask the padding rows downstream (or "
+                "pad=False to make uneven batches an error)",
+                stacklevel=2,
+            )
         x = jnp.pad(x, [(0, extra)] + [(0, 0)] * (x.ndim - 1))
     spec = P(axis, *([None] * (x.ndim - 1)))
     out = jax.device_put(x, NamedSharding(mesh, spec))

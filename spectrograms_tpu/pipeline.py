@@ -165,18 +165,22 @@ class StftResult:
     """Complex STFT matrix + axes (parity with ``StftResult``,
     spectrogram.rs and ``/root/reference/src/python/params.rs:319``)."""
 
-    data: jax.Array  # (n_bins, n_frames) complex
+    data: jax.Array  # ([channels,] n_bins, n_frames) complex
     frequencies: np.ndarray
     sample_rate: float
     params: "object"
 
     @property
     def n_bins(self) -> int:
-        return self.data.shape[0]
+        return self.data.shape[-2]
 
     @property
     def n_frames(self) -> int:
-        return self.data.shape[1]
+        return self.data.shape[-1]
+
+    @property
+    def n_channels(self) -> int:
+        return self.data.shape[0] if self.data.ndim == 3 else 1
 
     def to_numpy(self) -> np.ndarray:
         return np.asarray(self.data)
@@ -194,7 +198,8 @@ class StftResult:
         return self.data.__dlpack_device__()
 
 
-def _resolve_method(method: str, n_fft: int, hop: int, dtype, freq_scale) -> str:
+def _resolve_method(method: str, n_fft: int, hop: int, dtype, freq_scale,
+                    precision=None) -> str:
     from .ops.fft_factored import supports_factored
     from .ops.pallas_factored import supports_factored_fusion
 
@@ -213,6 +218,10 @@ def _resolve_method(method: str, n_fft: int, hop: int, dtype, freq_scale) -> str
             freq_scale in (FreqScale.MEL, FreqScale.LOG_HZ, FreqScale.ERB)
             and supports_factored_fusion(n_fft, hop, dtype)
             and jax.default_backend() == "tpu"
+            # The bf16-based kernel cannot honor an explicit HIGHEST request
+            # — auto falls back to the full-f32 matmul path instead of the
+            # constructor erroring on a method the user never chose.
+            and precision != jax.lax.Precision.HIGHEST
         ):
             return "pallas"
         return "matmul"
@@ -268,7 +277,9 @@ class SpectrogramPlan:
         stft_p = params.stft
         n_fft, hop = stft_p.n_fft, stft_p.hop_size
         sr = params.sample_rate_hz
-        self.method = _resolve_method(method, n_fft, hop, self._dtype, freq_scale)
+        self.method = _resolve_method(
+            method, n_fft, hop, self._dtype, freq_scale, self.precision
+        )
 
         window64 = make_window(stft_p.window, n_fft, np.float64)
         self._window = jnp.asarray(window64.astype(self._dtype))

@@ -113,10 +113,13 @@ class AudioBatchLoader:
             )
         for i in mismatched:
             # The padded row was truncated at target_len *source* samples; for
-            # correctness re-decode the full file and resample that, so a
-            # high-rate clip keeps its full duration.
+            # correctness re-decode the file and resample, so a high-rate clip
+            # keeps its full duration. Only the samples that can influence the
+            # kept window matter — trim before resampling (a 1-hour 48 kHz
+            # file must not materialize a full-length weight matrix).
             sig, sr = read_wav(self.paths[int(path_idx[i])], mono=True)
-            converted = resample(sig, float(sr), float(expected))
+            need = int(np.ceil(self.target_len * float(sr) / float(expected))) + 256
+            converted = resample(sig[:need], float(sr), float(expected))
             m = min(converted.shape[0], self.target_len)
             data[i, :] = 0.0
             data[i, :m] = converted[:m]

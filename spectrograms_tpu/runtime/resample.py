@@ -68,23 +68,33 @@ def resample(
     cutoff = min(1.0, ratio)
     beta = _kaiser_beta(attenuation_db)
 
-    # t_m: exact input-domain position of each output sample.
-    t = np.arange(out_len, dtype=np.float64) / ratio
-    base = np.floor(t).astype(np.int64)
-    frac = t - base
-
+    # Process output in chunks: the (M, 2H) gather/weight matrices are ~3 KB
+    # per output sample in float64 — a one-shot build on an hour-long file
+    # would need tens of GB. 1M-sample chunks cap the working set at ~500 MB.
     k = np.arange(-half_width + 1, half_width + 1, dtype=np.int64)  # (2H,)
-    idx = base[:, None] + k[None, :]                                # (M, 2H)
-    valid = (idx >= 0) & (idx < n)
-    gathered = np.where(valid, xf[np.clip(idx, 0, n - 1)], 0.0)
+    i0_beta = _i0(np.asarray(beta))
+    out = np.empty(out_len, dtype=np.float64)
+    chunk = 1 << 20
+    for start in range(0, out_len, chunk):
+        stop = min(start + chunk, out_len)
+        # t_m: exact input-domain position of each output sample.
+        t = np.arange(start, stop, dtype=np.float64) / ratio
+        base = np.floor(t).astype(np.int64)
+        frac = t - base
 
-    # Windowed-sinc weights at offsets (k - frac): sinc lowpass at `cutoff`,
-    # Kaiser window over the support [-H, H].
-    u = k[None, :].astype(np.float64) - frac[:, None]               # (M, 2H)
-    w_sinc = cutoff * np.sinc(cutoff * u)
-    z = u / half_width
-    win = np.where(np.abs(z) <= 1.0, _i0(beta * np.sqrt(np.maximum(0.0, 1.0 - z * z))) / _i0(np.asarray(beta)), 0.0)
-    weights = w_sinc * win
+        idx = base[:, None] + k[None, :]                            # (m, 2H)
+        valid = (idx >= 0) & (idx < n)
+        gathered = np.where(valid, xf[np.clip(idx, 0, n - 1)], 0.0)
 
-    out = np.einsum("mk,mk->m", gathered, weights)
+        # Windowed-sinc weights at offsets (k - frac): sinc lowpass at
+        # `cutoff`, Kaiser window over the support [-H, H].
+        u = k[None, :].astype(np.float64) - frac[:, None]           # (m, 2H)
+        w_sinc = cutoff * np.sinc(cutoff * u)
+        z = u / half_width
+        win = np.where(
+            np.abs(z) <= 1.0,
+            _i0(beta * np.sqrt(np.maximum(0.0, 1.0 - z * z))) / i0_beta,
+            0.0,
+        )
+        out[start:stop] = np.einsum("mk,mk->m", gathered, w_sinc * win)
     return out.astype(in_dtype if np.issubdtype(in_dtype, np.floating) else np.float64)

@@ -216,3 +216,15 @@ def test_vectorized_histogram_matches_loop(exponent, normalize):
     got = _histogram_core(data, 50, (-24.0, 24.0), exponent, normalize)
     want = _histogram_loop_reference(data, 50, (-24.0, 24.0), exponent, normalize)
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_batch_with_unhashable_custom_window_builds_uncached():
+    # Review round 2: a custom window holding a list made the cache lookup
+    # itself raise TypeError instead of falling back to an uncached build.
+    w = sg.WindowType("custom", coefficients=[0.5] * 512)
+    params = sg.ITDSpectrogramParams(
+        sg.SpectrogramParams(sg.StftParams(512, 256, window=w), SR)
+    )
+    xb = np.random.default_rng(0).standard_normal((2, 2, 2048)).astype(np.float32)
+    out = sg.compute_itd_spectrogram_batch(xb, params)
+    assert out.shape[0] == 2

@@ -206,3 +206,20 @@ def test_pallas_runner_ignores_global_x64(monkeypatch):
     with jax.enable_x64(True):
         out = np.asarray(plan.compute_raw(x))
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_auto_never_selects_pallas_at_highest_precision(monkeypatch):
+    # Review round 2: auto+HIGHEST must fall back to matmul, not raise.
+    import jax
+    from spectrograms_tpu import pipeline as pl
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    m = pl._resolve_method("auto", 1024, 256, np.float32, sg.FreqScale.MEL,
+                           jax.lax.Precision.HIGHEST)
+    assert m == "matmul"
+    m2 = pl._resolve_method("auto", 1024, 256, np.float32, sg.FreqScale.MEL,
+                            jax.lax.Precision.HIGH)
+    assert m2 == "pallas"
+    plan = sg.MelDbPlan(PARAMS, MEL, DB, dtype="float32",
+                        precision=jax.lax.Precision.HIGHEST)
+    assert plan.method == "matmul"

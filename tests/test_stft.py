@@ -167,3 +167,14 @@ def test_fft_and_power_spectrum_multichannel():
 def test_stft_rejects_3d():
     with pytest.raises(sg.InvalidInputError):
         sg.stft(np.zeros((2, 2, 100)), 64, 32)
+
+
+def test_stft_plan_multichannel_result_properties():
+    params = sg.SpectrogramParams(sg.StftParams(512, 128), 16000.0)
+    plan = sg.SpectrogramPlanner().stft_plan(params, dtype="float32")
+    res = plan.compute(np.zeros((3, 4000), np.float32))
+    assert res.n_channels == 3
+    assert res.n_bins == 257
+    assert res.n_frames == res.data.shape[-1]
+    mono = plan.compute(np.zeros(4000, np.float32))
+    assert mono.n_channels == 1 and mono.n_bins == 257
