@@ -692,6 +692,10 @@ class StftResult:
         ...
 
     @property
+    def n_channels(self):
+        ...
+
+    @property
     def n_frames(self):
         """Number of time frames (columns)."""
         ...

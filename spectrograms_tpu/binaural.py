@@ -23,7 +23,7 @@ STFT. Histograms are host-side f64 numpy (analysis, not hot path).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax

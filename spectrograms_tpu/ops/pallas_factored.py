@@ -56,9 +56,7 @@ except Exception:  # pragma: no cover
 
 VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from .pallas_stft import _round_up, _split_bf16  # noqa: E402 — shared helpers
 
 
 def supports_factored_fusion(n_fft: int, hop: int, dtype) -> bool:
@@ -73,13 +71,6 @@ def supports_factored_fusion(n_fft: int, hop: int, dtype) -> bool:
         return False
     r = n_fft // 128
     return (r & (r - 1)) == 0 and 0 < hop <= n_fft
-
-
-def _split_bf16(a: np.ndarray):
-    a32 = a.astype(np.float32)
-    hi = a32.astype(jnp.bfloat16)
-    lo = (a32 - np.asarray(hi, dtype=np.float32)).astype(jnp.bfloat16)
-    return np.asarray(hi), np.asarray(lo)
 
 
 def _kernel(

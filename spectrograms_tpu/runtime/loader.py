@@ -126,9 +126,8 @@ class AudioBatchLoader:
             lengths[i] = m
 
     # ---- backends ----------------------------------------------------------
-    def _iter_native(
-        self,
-    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    def _iter_native(self):
+        """Yields raw (data, lengths, srs, path_idx) native batches."""
         lib = self._lib
         c_paths = (ctypes.c_char_p * len(self.paths))(
             *[p.encode() for p in self.paths]

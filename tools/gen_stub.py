@@ -130,9 +130,6 @@ def _doc_block(obj, indent: str, member_name: str = "") -> str:
     lines = safe.split("\n")
     if len(lines) == 1:
         return f'{indent}"""{lines[0]}"""\n'
-    body = "\n".join(
-        (indent + line).rstrip() if line else "" for line in lines
-    )
     return f'{indent}"""{lines[0]}\n' + "\n".join(
         (indent + l).rstrip() if l else "" for l in lines[1:]
     ) + f'\n{indent}"""\n'
