@@ -28,6 +28,7 @@ import numpy as np
 
 __all__ = [
     "rdft_matrices",
+    "irdft_matrices",
     "rdft_matmul",
     "power_spectrum_matmul",
     "MATMUL_MAX_N_FFT",
@@ -63,6 +64,36 @@ def rdft_matrices(n_fft: int, window=None, dtype=np.float32):
     window_key = None if window is None else tuple(np.asarray(window, dtype=np.float64).tolist())
     c, s = _rdft_matrices_np(int(n_fft), window_key, np.dtype(dtype).str)
     return jnp.asarray(c), jnp.asarray(s)
+
+
+@lru_cache(maxsize=64)
+def _irdft_matrices_np(n_fft: int, dtype_str: str):
+    """(n_bins, n_fft) inverse real-DFT matrices: x = re@Ci + im@Si.
+
+    Hermitian weights folded in (DC and Nyquist count once, interior bins
+    twice) along with the 1/N normalization — the exact c2r inverse.
+    """
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_bins, dtype=np.float64)[:, None]
+    n = np.arange(n_fft, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    c = np.full((n_bins, 1), 2.0)
+    c[0, 0] = 1.0
+    if n_fft % 2 == 0:
+        c[-1, 0] = 1.0
+    ci = (c * np.cos(ang)) / n_fft
+    si = (-c * np.sin(ang)) / n_fft
+    dt = np.dtype(dtype_str)
+    return ci.astype(dt), si.astype(dt)
+
+
+def irdft_matrices(n_fft: int, dtype=np.float32):
+    """Inverse real-DFT matrices (Ci, Si), each (n_bins, n_fft).
+
+    ``re @ Ci + im @ Si`` equals ``jnp.fft.irfft(re + 1j*im, n_fft)``.
+    """
+    ci, si = _irdft_matrices_np(int(n_fft), np.dtype(dtype).str)
+    return jnp.asarray(ci), jnp.asarray(si)
 
 
 def rdft_matmul(frames, cos_mat, sin_mat, precision=jax.lax.Precision.HIGHEST):

@@ -31,10 +31,18 @@ __all__ = ["griffin_lim", "mel_to_linear", "mel_filterbank_pinv", "invert_mel_db
 
 @partial(
     jax.jit,
-    static_argnames=("n_fft", "hop", "centre", "n_iter", "out_len"),
+    static_argnames=("n_fft", "hop", "centre", "n_iter", "out_len", "use_matmul"),
 )
-def _griffin_lim_impl(mag, w, momentum, n_fft, hop, centre, n_iter, out_len):
-    """mag: (n_bins, n_frames) → (out_len,) waveform."""
+def _griffin_lim_impl(mag, w, momentum, mats, n_fft, hop, centre, n_iter,
+                      out_len, use_matmul=False):
+    """mag: (n_bins, n_frames) → (out_len,) waveform.
+
+    ``use_matmul`` lowers the per-iteration analysis/synthesis transforms as
+    MXU matmuls against (i)rDFT matrices — on TPU, XLA's FFT is the slow
+    path and the Griffin-Lim loop runs one forward + one inverse per
+    iteration, so this is where the vocoder's time goes. The spectrum is
+    carried as a (re, im) pair (complex lowers to pairs anyway).
+    """
     n_frames = mag.shape[1]
     mag_t = mag.T  # (n_frames, n_bins)
 
@@ -42,6 +50,50 @@ def _griffin_lim_impl(mag, w, momentum, n_fft, hop, centre, n_iter, out_len):
     safe_norm = jnp.where(norm > 1e-10, norm, 1.0)
 
     pad = n_fft // 2 if centre else 0
+
+    if use_matmul:
+        prec = jax.lax.Precision.HIGH
+        # (i)rDFT matrices are host-built constants passed in by the caller
+        # (the analysis pair carries the window fold; synthesis windows after).
+        c_f, s_f, c_i, s_i = mats
+
+        def istft_pair(re_t, im_t):
+            frames = (
+                jnp.matmul(re_t, c_i, precision=prec)
+                + jnp.matmul(im_t, s_i, precision=prec)
+            ) * w[None, :]
+            out = overlap_add(frames, hop)
+            return jnp.where(norm > 1e-10, out / safe_norm, out)
+
+        def project_pair(re_t, im_t):
+            x = istft_pair(re_t, im_t)
+            frames = frame_signal(x, n_fft, hop, centre=False)
+            return (
+                jnp.matmul(frames, c_f, precision=prec),
+                jnp.matmul(frames, s_f, precision=prec),
+            )
+
+        angles = jax.random.uniform(
+            jax.random.PRNGKey(0), mag_t.shape, dtype=mag_t.dtype,
+            minval=-np.pi, maxval=np.pi,
+        )
+        re = mag_t * jnp.cos(angles)
+        im = mag_t * jnp.sin(angles)
+        prev_re, prev_im = re, im
+
+        def body(_, carry):
+            re, im, prev_re, prev_im = carry
+            cand_re, cand_im = project_pair(re, im)
+            acc_re = cand_re + momentum * (cand_re - prev_re)
+            acc_im = cand_im + momentum * (cand_im - prev_im)
+            a = jnp.maximum(jnp.sqrt(acc_re * acc_re + acc_im * acc_im), 1e-16)
+            return mag_t * acc_re / a, mag_t * acc_im / a, cand_re, cand_im
+
+        re, im, _, _ = jax.lax.fori_loop(
+            0, n_iter, body, (re, im, prev_re, prev_im)
+        )
+        x = istft_pair(re, im)
+        return jax.lax.dynamic_slice(x, (pad,), (out_len,))
 
     def istft_t(spec_t):
         frames = jnp.fft.irfft(spec_t, n=n_fft, axis=-1) * w[None, :]
@@ -120,16 +172,30 @@ def griffin_lim(
     out_len = full_len - 2 * pad if length is None else int(length)
     out_len = max(1, min(out_len, full_len - pad))
     real_dt = jnp.float64 if mag.dtype == jnp.float64 else jnp.float32
-    w = jnp.asarray(make_window(window, n_fft, np.float64).astype(real_dt))
+    w64 = make_window(window, n_fft, np.float64)
+    w = jnp.asarray(w64.astype(real_dt))
+    # MXU matmul lowering for the hot loop on f32 MXU-friendly sizes; XLA FFT
+    # remains the f64/large-size path (same policy as the forward plans).
+    use_matmul = real_dt == jnp.float32 and n_fft <= 4096
+    if use_matmul:
+        from .ops.dft import MATMUL_MAX_N_FFT, irdft_matrices, rdft_matrices
+
+        c_f, s_f = rdft_matrices(n_fft, w64, np.float32)
+        c_i, s_i = irdft_matrices(n_fft, np.float32)
+        mats = (c_f, s_f, c_i, s_i)
+    else:
+        mats = (jnp.zeros(()),) * 4
     return _griffin_lim_impl(
         mag.astype(real_dt),
         w,
         real_dt(momentum),
+        mats,
         int(n_fft),
         int(hop_size),
         bool(centre),
         int(n_iter),
         int(out_len),
+        use_matmul=use_matmul,
     )
 
 
