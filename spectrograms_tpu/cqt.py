@@ -53,7 +53,9 @@ class CqtResult:
         return jnp.real(self.data) ** 2 + jnp.imag(self.data) ** 2
 
     def to_numpy(self) -> np.ndarray:
-        return np.asarray(self.data)
+        from .dtypes import to_numpy_safe
+
+        return to_numpy_safe(self.data)
 
 
 @partial(jax.jit, static_argnames=("frame_len", "hop", "n_frames"))

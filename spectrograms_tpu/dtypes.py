@@ -19,7 +19,7 @@ import numpy as np
 
 from .errors import InvalidInputError
 
-__all__ = ["parse_dtype", "complex_dtype", "DEFAULT_DTYPE", "ensure_x64"]
+__all__ = ["parse_dtype", "complex_dtype", "DEFAULT_DTYPE", "ensure_x64", "to_numpy_safe"]
 
 # TPU-first default. The reference defaults to float64
 # (/root/reference/src/python/dtype.rs: parse_dtype default f64); we default to
@@ -87,3 +87,35 @@ def ensure_x64(dtype) -> None:
             "jax.config.update('jax_enable_x64', True) first (float64 on TPU "
             "is emulated — use the CPU backend for f64 verification)"
         )
+
+
+def to_numpy_safe(arr):
+    """Device→host copy that survives backends without complex transfer.
+
+    The axon-attached TPU runtime cannot fetch complex arrays
+    ("UNIMPLEMENTED"); split the transfer into real/imag parts and recombine
+    on the host when the direct copy fails.
+    """
+    import numpy as _np
+
+    try:
+        return _np.asarray(arr)
+    except Exception as e:
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        if not _jnp.iscomplexobj(arr):
+            raise
+        try:
+            # Split under jit — works on runtimes where only the host
+            # transfer of complex buffers is missing.
+            re, im = _jax.jit(lambda a: (_jnp.real(a), _jnp.imag(a)))(arr)
+            return _np.asarray(re) + 1j * _np.asarray(im)
+        except Exception:
+            raise RuntimeError(
+                "this JAX runtime cannot move complex arrays across the "
+                "host boundary (remote-attached TPU limitation). Keep the "
+                "complex result on device (feed it to istft/irfft or further "
+                "jit code), or fetch real quantities instead — e.g. "
+                "jnp.abs(spec)/power land on the host fine"
+            ) from e

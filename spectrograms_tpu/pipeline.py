@@ -183,10 +183,12 @@ class StftResult:
         return self.data.shape[0] if self.data.ndim == 3 else 1
 
     def to_numpy(self) -> np.ndarray:
-        return np.asarray(self.data)
+        from .dtypes import to_numpy_safe
+
+        return to_numpy_safe(self.data)
 
     def __array__(self, dtype=None):
-        arr = np.asarray(self.data)
+        arr = self.to_numpy()
         return arr.astype(dtype) if dtype is not None else arr
 
     def __dlpack__(self, stream=None):
