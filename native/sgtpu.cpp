@@ -604,3 +604,114 @@ SG_API int64_t sg_loader_next(void* h, float* out_data, int64_t* out_lengths,
   set_error(std::string("loader next failed: ") + e.what());
   return -1;
 }
+
+// ---------------------------------------------------------------------------
+// Windowed-sinc resampler (polyphase-tabulated)
+// ---------------------------------------------------------------------------
+//
+// Same math as spectrograms_tpu/runtime/resample.py: bandlimited sinc
+// interpolation with a Kaiser window (90 dB), cutoff at the narrower
+// Nyquist. The continuous kernel is tabulated at PHASES fractional offsets
+// and linearly interpolated — two table rows per output sample instead of
+// per-tap Bessel evaluations.
+
+namespace {
+
+constexpr int RS_HALF = 32;                  // taps: 2*RS_HALF
+constexpr int RS_PHASES = 512;
+
+double kaiser_beta_for(double atten_db) {
+  if (atten_db > 50.0) return 0.1102 * (atten_db - 8.7);
+  if (atten_db >= 21.0)
+    return 0.5842 * std::pow(atten_db - 21.0, 0.4) + 0.07886 * (atten_db - 21.0);
+  return 0.0;
+}
+
+double bessel_i0(double x) {
+  // Series expansion; converges quickly for the beta range we use (~8.6).
+  double sum = 1.0, term = 1.0;
+  const double q = x * x / 4.0;
+  for (int k = 1; k < 64; ++k) {
+    term *= q / (static_cast<double>(k) * k);
+    sum += term;
+    if (term < 1e-18 * sum) break;
+  }
+  return sum;
+}
+
+struct ResampleTable {
+  std::vector<float> h;  // (RS_PHASES + 1) rows of 2*RS_HALF taps
+  double cutoff;
+};
+
+void build_resample_table(double ratio, ResampleTable* t) {
+  const double cutoff = ratio < 1.0 ? ratio : 1.0;
+  const double beta = kaiser_beta_for(90.0);
+  const double i0b = bessel_i0(beta);
+  const int taps = 2 * RS_HALF;
+  t->cutoff = cutoff;
+  t->h.assign(static_cast<size_t>(RS_PHASES + 1) * taps, 0.0f);
+  for (int p = 0; p <= RS_PHASES; ++p) {
+    const double frac = static_cast<double>(p) / RS_PHASES;
+    for (int j = 0; j < taps; ++j) {
+      const int k = j - RS_HALF + 1;
+      const double u = static_cast<double>(k) - frac;
+      const double x = cutoff * u;
+      const double s = x == 0.0 ? 1.0 : std::sin(M_PI * x) / (M_PI * x);
+      const double z = u / RS_HALF;
+      double w = 0.0;
+      if (z > -1.0 && z < 1.0) {
+        w = bessel_i0(beta * std::sqrt(1.0 - z * z)) / i0b;
+      }
+      t->h[static_cast<size_t>(p) * taps + j] =
+          static_cast<float>(cutoff * s * w);
+    }
+  }
+}
+
+}  // namespace
+
+// Resamples n_in float32 samples from sr_in to sr_out. out must hold
+// ceil(n_in * sr_out / sr_in) floats; returns the number written, or -1.
+SG_API int64_t sg_resample(const float* in, int64_t n_in, double sr_in,
+                           double sr_out, float* out) try {
+  if (n_in <= 0 || sr_in <= 0.0 || sr_out <= 0.0) {
+    set_error("sg_resample: invalid arguments");
+    return -1;
+  }
+  if (sr_in == sr_out) {
+    memcpy(out, in, static_cast<size_t>(n_in) * sizeof(float));
+    return n_in;
+  }
+  const double ratio = sr_out / sr_in;
+  const int64_t n_out =
+      static_cast<int64_t>(std::ceil(static_cast<double>(n_in) * ratio));
+  ResampleTable table;
+  build_resample_table(ratio, &table);
+  const int taps = 2 * RS_HALF;
+
+  for (int64_t m = 0; m < n_out; ++m) {
+    const double tpos = static_cast<double>(m) / ratio;
+    const int64_t base = static_cast<int64_t>(std::floor(tpos));
+    const double frac = tpos - static_cast<double>(base);
+    const double pf = frac * RS_PHASES;
+    const int p0 = static_cast<int>(pf);
+    const float alpha = static_cast<float>(pf - p0);
+    const float* h0 = table.h.data() + static_cast<size_t>(p0) * taps;
+    const float* h1 = h0 + taps;
+    double acc = 0.0;
+    const int64_t start = base - RS_HALF + 1;
+    int j0 = 0, j1 = taps;
+    if (start < 0) j0 = static_cast<int>(-start);
+    if (start + taps > n_in) j1 = static_cast<int>(n_in - start);
+    for (int j = j0; j < j1; ++j) {
+      const float hv = h0[j] + alpha * (h1[j] - h0[j]);
+      acc += static_cast<double>(in[start + j]) * hv;
+    }
+    out[m] = static_cast<float>(acc);
+  }
+  return n_out;
+} catch (const std::exception& e) {
+  set_error(std::string("resample failed: ") + e.what());
+  return -1;
+}

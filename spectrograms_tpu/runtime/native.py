@@ -96,6 +96,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int32,
     ]
     lib.sg_loader_free.argtypes = [c.c_void_p]
+    lib.sg_resample.restype = c.c_int64
+    lib.sg_resample.argtypes = [
+        c.POINTER(c.c_float),
+        c.c_int64,
+        c.c_double,
+        c.c_double,
+        c.POINTER(c.c_float),
+    ]
     lib.sg_loader_next.restype = c.c_int64
     lib.sg_loader_next.argtypes = [
         c.c_void_p,

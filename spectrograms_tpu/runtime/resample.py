@@ -23,6 +23,31 @@ from ..errors import InvalidInputError
 __all__ = ["resample"]
 
 
+def _native_resample(x, sr_in: float, sr_out: float):
+    """C++ kernel when the native library is available, else None."""
+    import ctypes
+
+    try:
+        from .native import NativeUnavailable, load_library
+
+        lib = load_library()
+    except Exception:
+        return None
+    xc = np.ascontiguousarray(x, dtype=np.float32)
+    out_len = int(np.ceil(xc.shape[0] * sr_out / sr_in))
+    out = np.empty(out_len, dtype=np.float32)
+    n = lib.sg_resample(
+        xc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        xc.shape[0],
+        sr_in,
+        sr_out,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if n < 0:
+        return None
+    return out[:n]
+
+
 def _kaiser_beta(attenuation_db: float) -> float:
     a = attenuation_db
     if a > 50.0:
@@ -57,6 +82,13 @@ def resample(
         return x.copy()
     if float(sr_in) == float(sr_out):
         return np.array(x, copy=True)
+
+    # Fast path: the C++ polyphase kernel (same math, tabulated Kaiser-sinc)
+    # — keeps serving-path conversions off the Python interpreter.
+    if np.dtype(x.dtype) == np.float32:
+        native = _native_resample(x, float(sr_in), float(sr_out))
+        if native is not None:
+            return native
 
     in_dtype = x.dtype
     xf = x.astype(np.float64)

@@ -291,3 +291,17 @@ def test_feature_pipeline_rejects_wrong_rate(tmp_path):
     )
     batches = list(pipe2.run([p]))
     assert len(batches) == 1 and batches[0].features.shape[0] == 1
+
+
+@pytest.mark.skipif(not NATIVE, reason="native library unavailable")
+def test_native_resample_matches_numpy_kernel():
+    from spectrograms_tpu.runtime.resample import _native_resample, resample
+
+    sr_in, sr_out = 44100, 16000
+    t = np.arange(sr_in // 2) / sr_in
+    x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    nat = _native_resample(x, float(sr_in), float(sr_out))
+    assert nat is not None
+    ref = resample(x.astype(np.float64), sr_in, sr_out)  # f64 → numpy path
+    assert nat.shape[0] == ref.shape[0]
+    np.testing.assert_allclose(nat[100:-100], ref[100:-100], atol=2e-5)
