@@ -78,3 +78,20 @@ def test_power_plan_rejects_db():
         sg.MelPowerPlan(PARAMS, MEL, db=DB, dtype="float32")
     with pytest.raises(sg.InvalidInputError):
         sg.LinearMagnitudePlan(PARAMS, db=DB, dtype="float32")
+
+
+def test_fft_planner_parity_class():
+    """FftPlanner (reference spectrogram.rs:4977-5240): cached one-shots."""
+    p = sg.FftPlanner(dtype="float32")
+    x = np.sin(2 * np.pi * 440 * np.arange(400) / 16000).astype(np.float32)
+    spec = p.fft(x, 512)
+    assert spec.shape == (257,)
+    np.testing.assert_allclose(
+        np.asarray(p.rfft(x, 512)), np.abs(np.asarray(spec)), rtol=1e-6
+    )
+    back = p.irfft(spec, 512)
+    np.testing.assert_allclose(np.asarray(back)[:400], x, atol=1e-5)
+    assert p.power_spectrum(x, 512, window="hann").shape == (257,)
+    assert p.magnitude_spectrum(x, 512).shape == (257,)
+    with pytest.raises(sg.InvalidInputError):
+        p.fft(np.zeros(600, np.float32), 512)  # input longer than n_fft
