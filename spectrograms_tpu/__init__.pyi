@@ -65,8 +65,8 @@ class WindowType:
     param: Any = None
     coefficients: Any = None
 
-    @classmethod
-    def blackman(self):
+    def __call__(self):
+        """Call self as a function."""
         ...
 
     @classmethod
@@ -87,14 +87,6 @@ class WindowType:
     def gaussian(self, std):
         ...
 
-    @classmethod
-    def hamming(self):
-        ...
-
-    @classmethod
-    def hanning(self):
-        ...
-
     def is_parameterized(self):
         ...
 
@@ -102,11 +94,37 @@ class WindowType:
     def kaiser(self, beta):
         ...
 
-    def parameter_value(self):
+    @staticmethod
+    def make_blackman(n, dtype = None):
+        """Blackman window coefficients of length n."""
         ...
 
-    @classmethod
-    def rectangular(self):
+    @staticmethod
+    def make_gaussian(n, std, dtype = None):
+        """Gaussian window coefficients of length n with width std."""
+        ...
+
+    @staticmethod
+    def make_hamming(n, dtype = None):
+        """Hamming window coefficients of length n."""
+        ...
+
+    @staticmethod
+    def make_hanning(n, dtype = None):
+        """Hanning window coefficients of length n."""
+        ...
+
+    @staticmethod
+    def make_kaiser(n, beta, dtype = None):
+        """Kaiser window coefficients of length n with shape beta."""
+        ...
+
+    @staticmethod
+    def make_rectangular(n, dtype = None):
+        """Rectangular window coefficients of length n."""
+        ...
+
+    def parameter_value(self):
         ...
 
     @property
@@ -161,9 +179,13 @@ class StftParamsBuilder:
 
 
 class SpectrogramParams:
-    """STFT params + sample rate."""
+    """STFT params + sample rate.
+
+    Accepts the rate positionally, as ``sample_rate_hz=`` or (reference
+    keyword parity, ``params.rs:616``) as ``sample_rate=``.
+    """
     stft: Any
-    sample_rate_hz: Any
+    sample_rate_hz: Any = None
 
     @staticmethod
     def builder():
@@ -179,6 +201,11 @@ class SpectrogramParams:
         ...
 
     def nyquist_hz(self):
+        ...
+
+    @property
+    def sample_rate(self):
+        """Alias of ``sample_rate_hz`` (reference getter name)."""
         ...
 
     @staticmethod
@@ -441,9 +468,9 @@ class Spectrogram:
         """NumPy protocol: device->host copy as an ndarray."""
         ...
 
-    def __dlpack__(self, stream = None):
-        """DLPack export (zero-copy; parity with the reference's manual
-        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs).
+    def __dlpack__(self, stream = None, max_version = None, dl_device = None, copy = None):
+        """DLPack export (Array-API kwargs validated like the reference's
+        manual C-ABI layer, /root/reference/src/python/dlpack.rs).
         """
         ...
 
@@ -676,14 +703,19 @@ class StftResult:
         """NumPy protocol: device->host copy as an ndarray."""
         ...
 
-    def __dlpack__(self, stream = None):
-        """DLPack export (zero-copy; parity with the reference's manual
-        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs).
+    def __dlpack__(self, stream = None, max_version = None, dl_device = None, copy = None):
+        """DLPack export (Array-API kwargs validated like the reference's
+        manual C-ABI layer, /root/reference/src/python/dlpack.rs).
         """
         ...
 
     def __dlpack_device__(self):
         """DLPack device tuple (device_type, device_id)."""
+        ...
+
+    @property
+    def dtype(self):
+        """Real-precision dtype name (reference getter, params.rs:362)."""
         ...
 
     @property
@@ -698,6 +730,17 @@ class StftResult:
     @property
     def n_frames(self):
         """Number of time frames (columns)."""
+        ...
+
+    def norm(self):
+        """Magnitude |X| at the matching real precision (reference method,
+        python/params.rs:412).
+        """
+        ...
+
+    @property
+    def shape(self):
+        """Data shape tuple."""
         ...
 
     def to_numpy(self):
@@ -1336,14 +1379,24 @@ class Mfcc:
         """NumPy protocol: device->host copy as an ndarray."""
         ...
 
-    def __dlpack__(self, stream = None):
-        """DLPack export (zero-copy; parity with the reference's manual
-        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs).
+    def __dlpack__(self, stream = None, max_version = None, dl_device = None, copy = None):
+        """DLPack export (Array-API kwargs validated like the reference's
+        manual C-ABI layer, /root/reference/src/python/dlpack.rs).
         """
         ...
 
     def __dlpack_device__(self):
         """DLPack device tuple (device_type, device_id)."""
+        ...
+
+    @property
+    def dtype(self):
+        """Dtype name (reference getter, python/mfcc.rs:51)."""
+        ...
+
+    @property
+    def n_bins(self):
+        """Alias of n_coefficients (reference attribute name, python/mfcc.rs:63)."""
         ...
 
     @property
@@ -1393,14 +1446,19 @@ class Chromagram:
         """NumPy protocol: device->host copy as an ndarray."""
         ...
 
-    def __dlpack__(self, stream = None):
-        """DLPack export (zero-copy; parity with the reference's manual
-        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs).
+    def __dlpack__(self, stream = None, max_version = None, dl_device = None, copy = None):
+        """DLPack export (Array-API kwargs validated like the reference's
+        manual C-ABI layer, /root/reference/src/python/dlpack.rs).
         """
         ...
 
     def __dlpack_device__(self):
         """DLPack device tuple (device_type, device_id)."""
+        ...
+
+    @property
+    def dtype(self):
+        """Dtype name (reference getter, python/mod.rs:68)."""
         ...
 
     @property
@@ -1444,6 +1502,11 @@ class CqtResult:
     frequencies: Any
     sample_rate: Any
     hop_size: Any
+
+    @property
+    def dtype(self):
+        """Real-precision dtype name (reference result-class getter)."""
+        ...
 
     @property
     def n_bins(self):
@@ -1561,6 +1624,11 @@ class Fft2dPlanner:
         """Construct and validate; raises InvalidInputError on bad arguments."""
         ...
 
+    @property
+    def dtype(self):
+        """Configured dtype name (default float32)."""
+        ...
+
     def fft2d(self, data):
         ...
 
@@ -1614,14 +1682,19 @@ class ItdSpectrogram:
         """NumPy protocol: device->host copy as an ndarray."""
         ...
 
-    def __dlpack__(self, stream = None):
-        """DLPack export (zero-copy; parity with the reference's manual
-        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs).
+    def __dlpack__(self, stream = None, max_version = None, dl_device = None, copy = None):
+        """DLPack export (Array-API kwargs validated like the reference's
+        manual C-ABI layer, /root/reference/src/python/dlpack.rs).
         """
         ...
 
     def __dlpack_device__(self):
         """DLPack device tuple (device_type, device_id)."""
+        ...
+
+    @property
+    def dtype(self):
+        """Dtype name (reference getter, python/binaural.rs:140)."""
         ...
 
     def duration(self):
@@ -1666,14 +1739,19 @@ class IpdSpectrogram:
         """NumPy protocol: device->host copy as an ndarray."""
         ...
 
-    def __dlpack__(self, stream = None):
-        """DLPack export (zero-copy; parity with the reference's manual
-        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs).
+    def __dlpack__(self, stream = None, max_version = None, dl_device = None, copy = None):
+        """DLPack export (Array-API kwargs validated like the reference's
+        manual C-ABI layer, /root/reference/src/python/dlpack.rs).
         """
         ...
 
     def __dlpack_device__(self):
         """DLPack device tuple (device_type, device_id)."""
+        ...
+
+    @property
+    def dtype(self):
+        """Dtype name (reference getter, python/binaural.rs:140)."""
         ...
 
     def duration(self):
@@ -1718,14 +1796,19 @@ class IldSpectrogram:
         """NumPy protocol: device->host copy as an ndarray."""
         ...
 
-    def __dlpack__(self, stream = None):
-        """DLPack export (zero-copy; parity with the reference's manual
-        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs).
+    def __dlpack__(self, stream = None, max_version = None, dl_device = None, copy = None):
+        """DLPack export (Array-API kwargs validated like the reference's
+        manual C-ABI layer, /root/reference/src/python/dlpack.rs).
         """
         ...
 
     def __dlpack_device__(self):
         """DLPack device tuple (device_type, device_id)."""
+        ...
+
+    @property
+    def dtype(self):
+        """Dtype name (reference getter, python/binaural.rs:140)."""
         ...
 
     def duration(self):
@@ -1770,14 +1853,19 @@ class IlrSpectrogram:
         """NumPy protocol: device->host copy as an ndarray."""
         ...
 
-    def __dlpack__(self, stream = None):
-        """DLPack export (zero-copy; parity with the reference's manual
-        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs).
+    def __dlpack__(self, stream = None, max_version = None, dl_device = None, copy = None):
+        """DLPack export (Array-API kwargs validated like the reference's
+        manual C-ABI layer, /root/reference/src/python/dlpack.rs).
         """
         ...
 
     def __dlpack_device__(self):
         """DLPack device tuple (device_type, device_id)."""
+        ...
+
+    @property
+    def dtype(self):
+        """Dtype name (reference getter, python/binaural.rs:140)."""
         ...
 
     def duration(self):
@@ -2139,7 +2227,7 @@ def rfft(samples, n_fft, dtype = None):
     """Magnitude of the r2c FFT (parity with the reference's ``rfft``)."""
     ...
 
-def irfft(spectrum, n_fft):
+def irfft(spectrum, n_fft, dtype = None):
     """c2r inverse FFT with 1/N normalization. → (n_fft,) real."""
     ...
 
@@ -2164,7 +2252,7 @@ def stft(samples, n_fft, hop_size, window = ..., centre = True, dtype = None):
     """
     ...
 
-def istft(stft_matrix, n_fft, hop_size, window = ..., centre = True):
+def istft(stft_matrix, n_fft, hop_size, window = ..., centre = True, dtype = None):
     """Inverse STFT by windowed overlap-add. Input (n_bins, n_frames) complex.
 
     Normalizes by accumulated window energy (guard 1e-10) and strips the
@@ -2253,7 +2341,7 @@ def mdct(samples, params, dtype = None):
     """MDCT coefficients, shape (N, n_frames)."""
     ...
 
-def imdct(coefficients, params, original_length = None):
+def imdct(coefficients, params, original_length = None, dtype = None):
     """Inverse MDCT via synthesis-windowed overlap-add."""
     ...
 
@@ -2261,7 +2349,7 @@ def compute_mdct(samples, params, dtype = None):
     """MDCT coefficients, shape (N, n_frames)."""
     ...
 
-def compute_imdct(coefficients, params, original_length = None):
+def compute_imdct(coefficients, params, original_length = None, dtype = None):
     """Inverse MDCT via synthesis-windowed overlap-add."""
     ...
 
@@ -2314,7 +2402,7 @@ def compute_fft2d(data, dtype = None):
     """2-D r2c FFT → (nrows, ncols//2+1) complex."""
     ...
 
-def ifft2d(spectrum, output_ncols):
+def ifft2d(spectrum, output_ncols, dtype = None):
     """Inverse of :func:`fft2d`; needs the original column count."""
     ...
 
@@ -2326,18 +2414,18 @@ def magnitude_spectrum_2d(data, dtype = None):
     """|FFT2(x)|."""
     ...
 
-def fftshift(arr):
+def fftshift(arr, dtype = None):
     """Shift DC to the array centre (2-D)."""
     ...
 
-def ifftshift(arr):
+def ifftshift(arr, dtype = None):
     """Inverse of :func:`fftshift` (2-D)."""
     ...
 
-def fftshift_1d(arr):
+def fftshift_1d(arr, dtype = None):
     ...
 
-def ifftshift_1d(arr):
+def ifftshift_1d(arr, dtype = None):
     ...
 
 def fftfreq(n, d = 1.0, dtype = ...):
@@ -2350,7 +2438,7 @@ def rfftfreq(n, d = 1.0, dtype = ...):
 
 image_ops: Any
 
-def convolve_fft(image, kernel):
+def convolve_fft(image, kernel, dtype = None):
     """Circular FFT convolution with a centred kernel (same-size output)."""
     ...
 
@@ -2358,23 +2446,23 @@ def gaussian_kernel_2d(size, sigma, dtype = ...):
     """Odd ``size × size`` Gaussian kernel normalized to sum 1."""
     ...
 
-def lowpass_filter(image, cutoff_fraction):
+def lowpass_filter(image, cutoff_fraction, dtype = None):
     """Keep frequencies inside the circular cutoff (smoothing)."""
     ...
 
-def highpass_filter(image, cutoff_fraction):
+def highpass_filter(image, cutoff_fraction, dtype = None):
     """Remove frequencies inside the circular cutoff (edge emphasis)."""
     ...
 
-def bandpass_filter(image, low_cutoff, high_cutoff):
+def bandpass_filter(image, low_cutoff, high_cutoff, dtype = None):
     """Keep frequencies between the two circular cutoffs."""
     ...
 
-def detect_edges_fft(image):
+def detect_edges_fft(image, dtype = None):
     """Edge detection via high-pass filtering at cutoff 0.1."""
     ...
 
-def sharpen_fft(image, amount):
+def sharpen_fft(image, amount, dtype = None):
     """Sharpen: original + ``amount`` × high-pass(0.2)."""
     ...
 
@@ -2454,10 +2542,10 @@ def compute_fft(samples, n_fft, dtype = None):
 def compute_rfft(samples, n_fft, dtype = None):
     ...
 
-def compute_irfft(spectrum, n_fft):
+def compute_irfft(spectrum, n_fft, dtype = None):
     ...
 
-def compute_istft(stft_matrix, n_fft, hop_size, window = 'hanning', centre = True):
+def compute_istft(stft_matrix, n_fft, hop_size, window = 'hanning', centre = True, dtype = None):
     ...
 
 def compute_power_spectrum(samples, n_fft, window = None, dtype = None):

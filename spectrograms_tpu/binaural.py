@@ -202,6 +202,13 @@ class _BinauralResult:
     def duration(self) -> float:
         return float(self.times[-1] - self.times[0])
 
+    @property
+    def dtype(self) -> str:
+        """Dtype name (reference getter, python/binaural.rs:140)."""
+        from .dtypes import real_dtype_name
+
+        return real_dtype_name(self.data.dtype)
+
     def to_numpy(self) -> np.ndarray:
         return np.asarray(self.data)
 
@@ -209,10 +216,12 @@ class _BinauralResult:
         arr = np.asarray(self.data)
         return arr.astype(dtype) if dtype is not None else arr
 
-    def __dlpack__(self, stream=None):
-        """DLPack export (zero-copy; parity with the reference's manual
-        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs)."""
-        return self.data.__dlpack__(stream=stream) if stream is not None else self.data.__dlpack__()
+    def __dlpack__(self, stream=None, max_version=None, dl_device=None, copy=None):
+        """DLPack export (Array-API kwargs validated like the reference's
+        manual C-ABI layer, /root/reference/src/python/dlpack.rs)."""
+        from .dtypes import dlpack_export
+
+        return dlpack_export(self.data, stream, max_version, dl_device, copy)
 
     def __dlpack_device__(self):
         return self.data.__dlpack_device__()

@@ -45,9 +45,19 @@ class Chromagram:
     data: jax.Array
     params: ChromaParams
 
+    # Pitch-class names (reference classattr, chroma.rs:238 / python/mod.rs:94)
+    labels = ("C", "C#", "D", "D#", "E", "F", "F#", "G", "G#", "A", "A#", "B")
+
     @property
     def n_bins(self) -> int:
         return self.data.shape[0]
+
+    @property
+    def dtype(self) -> str:
+        """Dtype name (reference getter, python/mod.rs:68)."""
+        from .dtypes import real_dtype_name
+
+        return real_dtype_name(self.data.dtype)
 
     @property
     def n_frames(self) -> int:
@@ -64,10 +74,12 @@ class Chromagram:
         arr = np.asarray(self.data)
         return arr.astype(dtype) if dtype is not None else arr
 
-    def __dlpack__(self, stream=None):
-        """DLPack export (zero-copy; parity with the reference's manual
-        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs)."""
-        return self.data.__dlpack__(stream=stream) if stream is not None else self.data.__dlpack__()
+    def __dlpack__(self, stream=None, max_version=None, dl_device=None, copy=None):
+        """DLPack export (Array-API kwargs validated like the reference's
+        manual C-ABI layer, /root/reference/src/python/dlpack.rs)."""
+        from .dtypes import dlpack_export
+
+        return dlpack_export(self.data, stream, max_version, dl_device, copy)
 
     def __dlpack_device__(self):
         return self.data.__dlpack_device__()

@@ -43,6 +43,13 @@ class CqtResult:
         return self.data.shape[0]
 
     @property
+    def dtype(self) -> str:
+        """Real-precision dtype name (reference result-class getter)."""
+        from .dtypes import real_dtype_name
+
+        return real_dtype_name(self.data.dtype)
+
+    @property
     def n_frames(self) -> int:
         return self.data.shape[1]
 

@@ -19,7 +19,7 @@ import numpy as np
 
 from .errors import InvalidInputError
 
-__all__ = ["parse_dtype", "complex_dtype", "DEFAULT_DTYPE", "ensure_x64", "to_numpy_safe"]
+__all__ = ["parse_dtype", "complex_dtype", "DEFAULT_DTYPE", "ensure_x64", "to_numpy_safe", "real_dtype_name", "dlpack_export"]
 
 # TPU-first default. The reference defaults to float64
 # (/root/reference/src/python/dtype.rs: parse_dtype default f64); we default to
@@ -119,3 +119,46 @@ def to_numpy_safe(arr):
                 "jit code), or fetch real quantities instead — e.g. "
                 "jnp.abs(spec)/power land on the host fine"
             ) from e
+
+
+def real_dtype_name(dtype) -> str:
+    """Real-precision dtype name of possibly-complex data ("float32"/"float64").
+
+    The reference's result classes report the real precision even when the
+    stored array is complex (e.g. python/params.rs:362).
+    """
+    import numpy as _np
+
+    dt = _np.dtype(dtype)
+    if dt == _np.complex64:
+        return "float32"
+    if dt == _np.complex128:
+        return "float64"
+    return dt.name
+
+
+def dlpack_export(data, stream=None, max_version=None, dl_device=None, copy=None):
+    """Array-API-compliant ``__dlpack__`` backing for the result classes.
+
+    Mirrors the reference's argument validation
+    (``python/spectrogram.rs::validate_dlpack_args``) on top of the JAX
+    array's native exporter.
+    """
+    dev = data.__dlpack_device__()
+    if stream is not None and dev[0] == 1:  # kDLCPU
+        raise BufferError("stream must be None for CPU tensors")
+    if max_version is not None:
+        major = max_version[0]
+        if major < 1:
+            raise BufferError(f"Unsupported DLPack version: {max_version[0]}.{max_version[1]}")
+    if dl_device is not None and tuple(dl_device) != tuple(dev):
+        if dev[0] == 1:
+            raise BufferError(f"Only CPU device (1, 0) is supported, got {tuple(dl_device)}")
+        raise BufferError(f"Unsupported DLPack device {tuple(dl_device)}")
+    if copy:
+        import jax.numpy as _jnp
+
+        data = _jnp.array(data, copy=True)
+    if stream is not None:
+        return data.__dlpack__(stream=stream)
+    return data.__dlpack__()

@@ -53,7 +53,7 @@ def fft2d(data, dtype=None):
     return jnp.fft.rfft2(x).astype(complex_dtype(x.dtype))
 
 
-def ifft2d(spectrum, output_ncols: int):
+def ifft2d(spectrum, output_ncols: int, dtype=None):
     """Inverse of :func:`fft2d`; needs the original column count."""
     s = jnp.asarray(spectrum)
     if s.ndim != 2:
@@ -63,7 +63,10 @@ def ifft2d(spectrum, output_ncols: int):
     expected = output_ncols // 2 + 1
     if s.shape[1] != expected:
         raise DimensionMismatchError(expected, s.shape[1])
-    return jnp.fft.irfft2(s, s=(s.shape[0], int(output_ncols)))
+    out = jnp.fft.irfft2(s, s=(s.shape[0], int(output_ncols)))
+    if dtype is not None:
+        out = out.astype(parse_dtype(dtype))
+    return out
 
 
 def power_spectrum_2d(data, dtype=None):
@@ -77,36 +80,44 @@ def magnitude_spectrum_2d(data, dtype=None):
     return jnp.sqrt(power_spectrum_2d(data, dtype))
 
 
-def fftshift(arr):
+def _shift_cast(arr, dtype):
+    x = jnp.asarray(arr)
+    if dtype is not None:
+        dt = parse_dtype(dtype)
+        x = x.astype(complex_dtype(dt) if jnp.iscomplexobj(x) else dt)
+    return x
+
+
+def fftshift(arr, dtype=None):
     """Shift DC to the array centre (2-D)."""
-    return jnp.fft.fftshift(jnp.asarray(arr))
+    return jnp.fft.fftshift(_shift_cast(arr, dtype))
 
 
-def ifftshift(arr):
+def ifftshift(arr, dtype=None):
     """Inverse of :func:`fftshift` (2-D)."""
-    return jnp.fft.ifftshift(jnp.asarray(arr))
+    return jnp.fft.ifftshift(_shift_cast(arr, dtype))
 
 
-def fftshift_1d(arr):
-    return jnp.fft.fftshift(jnp.asarray(arr))
+def fftshift_1d(arr, dtype=None):
+    return jnp.fft.fftshift(_shift_cast(arr, dtype))
 
 
-def ifftshift_1d(arr):
-    return jnp.fft.ifftshift(jnp.asarray(arr))
+def ifftshift_1d(arr, dtype=None):
+    return jnp.fft.ifftshift(_shift_cast(arr, dtype))
 
 
 def fftfreq(n: int, d: float = 1.0, dtype=np.float64) -> np.ndarray:
     """FFT bin frequencies (numpy.fft.fftfreq semantics)."""
     if n <= 0:
         raise InvalidInputError("n must be > 0")
-    return np.fft.fftfreq(int(n), float(d)).astype(dtype)
+    return np.fft.fftfreq(int(n), float(d)).astype(parse_dtype(dtype))
 
 
 def rfftfreq(n: int, d: float = 1.0, dtype=np.float64) -> np.ndarray:
     """Positive FFT bin frequencies for the real FFT (n//2+1 values)."""
     if n <= 0:
         raise InvalidInputError("n must be > 0")
-    return np.fft.rfftfreq(int(n), float(d)).astype(dtype)
+    return np.fft.rfftfreq(int(n), float(d)).astype(parse_dtype(dtype))
 
 
 class Fft2dPlanner:
@@ -117,13 +128,19 @@ class Fft2dPlanner:
     """
 
     def __init__(self, dtype=None):
-        self._dtype = dtype
+        # Validate eagerly (reference planner rejects bad dtype strings).
+        self._dtype = None if dtype is None else np.dtype(parse_dtype(dtype)).name
+
+    @property
+    def dtype(self) -> str:
+        """Configured dtype name (default float32)."""
+        return self._dtype if self._dtype is not None else np.dtype(parse_dtype(None)).name
 
     def fft2d(self, data):
         return fft2d(data, self._dtype)
 
     def ifft2d(self, spectrum, output_ncols: int):
-        return ifft2d(spectrum, output_ncols)
+        return ifft2d(spectrum, output_ncols, dtype=self._dtype)
 
     def power_spectrum_2d(self, data):
         return power_spectrum_2d(data, self._dtype)

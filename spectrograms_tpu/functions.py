@@ -103,12 +103,13 @@ def compute_rfft(samples, n_fft: int, dtype=None):
     return _stft_ops.rfft(samples, n_fft, dtype=dtype)
 
 
-def compute_irfft(spectrum, n_fft: int):
-    return _stft_ops.irfft(spectrum, n_fft)
+def compute_irfft(spectrum, n_fft: int, dtype=None):
+    return _stft_ops.irfft(spectrum, n_fft, dtype=dtype)
 
 
-def compute_istft(stft_matrix, n_fft: int, hop_size: int, window="hanning", centre=True):
-    return _stft_ops.istft(stft_matrix, n_fft, hop_size, window, centre)
+def compute_istft(stft_matrix, n_fft: int, hop_size: int, window="hanning", centre=True,
+                  dtype=None):
+    return _stft_ops.istft(stft_matrix, n_fft, hop_size, window, centre, dtype=dtype)
 
 
 def compute_power_spectrum(samples, n_fft: int, window=None, dtype=None):

@@ -43,9 +43,9 @@ def _pad_kernel_for_fft(kernel: np.ndarray, target_shape) -> np.ndarray:
     return out
 
 
-def convolve_fft(image, kernel):
+def convolve_fft(image, kernel, dtype=None):
     """Circular FFT convolution with a centred kernel (same-size output)."""
-    img = _as_image(image)
+    img = _as_image(image, dtype)
     ker = np.asarray(kernel, dtype=np.float64)
     if ker.ndim != 2:
         raise InvalidInputError("kernel must be 2-D")
@@ -71,7 +71,8 @@ def gaussian_kernel_2d(size: int, sigma: float, dtype=np.float64) -> np.ndarray:
     x = np.arange(size, dtype=np.float64) - center
     g = np.exp(-(x[:, None] ** 2 + x[None, :] ** 2) / (2.0 * sigma * sigma))
     g /= g.sum()
-    return g.astype(dtype)
+    from .dtypes import parse_dtype
+    return g.astype(parse_dtype(dtype))
 
 
 @lru_cache(maxsize=64)
@@ -95,10 +96,10 @@ def _check_fraction(name: str, v: float):
         raise InvalidInputError(f"{name} must be between 0.0 and 1.0")
 
 
-def lowpass_filter(image, cutoff_fraction: float):
+def lowpass_filter(image, cutoff_fraction: float, dtype=None):
     """Keep frequencies inside the circular cutoff (smoothing)."""
     _check_fraction("cutoff_fraction", cutoff_fraction)
-    img = _as_image(image)
+    img = _as_image(image, dtype)
     spec = fft2d(img)
     mask = jnp.asarray(
         _lowpass_mask(tuple(spec.shape), float(cutoff_fraction)).astype(img.dtype)
@@ -106,10 +107,10 @@ def lowpass_filter(image, cutoff_fraction: float):
     return ifft2d(spec * mask, img.shape[1]).astype(img.dtype)
 
 
-def highpass_filter(image, cutoff_fraction: float):
+def highpass_filter(image, cutoff_fraction: float, dtype=None):
     """Remove frequencies inside the circular cutoff (edge emphasis)."""
     _check_fraction("cutoff_fraction", cutoff_fraction)
-    img = _as_image(image)
+    img = _as_image(image, dtype)
     spec = fft2d(img)
     mask = jnp.asarray(
         (1.0 - _lowpass_mask(tuple(spec.shape), float(cutoff_fraction))).astype(img.dtype)
@@ -117,13 +118,13 @@ def highpass_filter(image, cutoff_fraction: float):
     return ifft2d(spec * mask, img.shape[1]).astype(img.dtype)
 
 
-def bandpass_filter(image, low_cutoff: float, high_cutoff: float):
+def bandpass_filter(image, low_cutoff: float, high_cutoff: float, dtype=None):
     """Keep frequencies between the two circular cutoffs."""
     _check_fraction("low_cutoff", low_cutoff)
     _check_fraction("high_cutoff", high_cutoff)
     if low_cutoff >= high_cutoff:
         raise InvalidInputError("high_cutoff must be greater than low_cutoff")
-    img = _as_image(image)
+    img = _as_image(image, dtype)
     spec = fft2d(img)
     shape = tuple(spec.shape)
     mask = jnp.asarray(
@@ -135,14 +136,14 @@ def bandpass_filter(image, low_cutoff: float, high_cutoff: float):
     return ifft2d(spec * mask, img.shape[1]).astype(img.dtype)
 
 
-def detect_edges_fft(image):
+def detect_edges_fft(image, dtype=None):
     """Edge detection via high-pass filtering at cutoff 0.1."""
-    return highpass_filter(image, 0.1)
+    return highpass_filter(image, 0.1, dtype=dtype)
 
 
-def sharpen_fft(image, amount: float):
+def sharpen_fft(image, amount: float, dtype=None):
     """Sharpen: original + ``amount`` × high-pass(0.2)."""
     if amount < 0.0:
         raise InvalidInputError("amount must be >= 0")
-    img = _as_image(image)
+    img = _as_image(image, dtype)
     return (img + highpass_filter(img, 0.2) * img.dtype.type(amount)).astype(img.dtype)

@@ -121,9 +121,11 @@ def _imdct_impl(coeffs_t, inv_basis, two_n, hop, n_frames):
     return overlap_add(frames, hop)
 
 
-def imdct(coefficients, params: MdctParams, original_length=None) -> jax.Array:
+def imdct(coefficients, params: MdctParams, original_length=None, dtype=None) -> jax.Array:
     """Inverse MDCT via synthesis-windowed overlap-add."""
     c = jnp.asarray(coefficients)
+    if dtype is not None:
+        c = c.astype(parse_dtype(dtype))
     if c.ndim != 2:
         raise InvalidInputError(f"coefficients must be 2-D, got {c.shape}")
     n = params.n_coefficients

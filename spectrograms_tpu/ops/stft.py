@@ -80,13 +80,15 @@ def rfft(samples, n_fft: int, dtype=None):
     return jnp.abs(fft(samples, n_fft, dtype))
 
 
-def irfft(spectrum, n_fft: int):
+def irfft(spectrum, n_fft: int, dtype=None):
     """c2r inverse FFT with 1/N normalization. → (n_fft,) real."""
     spec = jnp.asarray(spectrum)
     expected = r2c_output_size(n_fft)
     if spec.shape[-1] != expected:
         raise DimensionMismatchError(expected, spec.shape[-1])
     out = jnp.fft.irfft(spec, n=int(n_fft))
+    if dtype is not None:
+        out = out.astype(parse_dtype(dtype))
     return out
 
 
@@ -181,6 +183,7 @@ def istft(
     hop_size: int,
     window: WindowType = WindowType.HANNING,
     centre: bool = True,
+    dtype=None,
 ):
     """Inverse STFT by windowed overlap-add. Input (n_bins, n_frames) complex.
 
@@ -211,4 +214,6 @@ def istft(
     unpadded_len = max(0, output_len - 2 * pad)
     if centre and unpadded_len > 0:
         out = out[pad : pad + unpadded_len]
+    if dtype is not None:
+        out = out.astype(parse_dtype(dtype))
     return out

@@ -145,10 +145,28 @@ class StftParamsBuilder:
 
 @dataclass(frozen=True)
 class SpectrogramParams:
-    """STFT params + sample rate."""
+    """STFT params + sample rate.
+
+    Accepts the rate positionally, as ``sample_rate_hz=`` or (reference
+    keyword parity, ``params.rs:616``) as ``sample_rate=``.
+    """
 
     stft: StftParams
-    sample_rate_hz: float
+    sample_rate_hz: float = None
+
+    def __init__(self, stft, sample_rate_hz=None, *, sample_rate=None):
+        if sample_rate_hz is None:
+            sample_rate_hz = sample_rate
+        if sample_rate_hz is None:
+            raise InvalidInputError("sample_rate_hz (or sample_rate) is required")
+        object.__setattr__(self, "stft", stft)
+        object.__setattr__(self, "sample_rate_hz", sample_rate_hz)
+        self.__post_init__()
+
+    @property
+    def sample_rate(self) -> float:
+        """Alias of ``sample_rate_hz`` (reference getter name)."""
+        return self.sample_rate_hz
 
     def __post_init__(self):
         sr = float(self.sample_rate_hz)

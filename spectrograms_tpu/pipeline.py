@@ -141,10 +141,12 @@ class Spectrogram:
         arr = np.asarray(self.data)
         return arr.astype(dtype) if dtype is not None else arr
 
-    def __dlpack__(self, stream=None):
-        """DLPack export (zero-copy; parity with the reference's manual
-        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs)."""
-        return self.data.__dlpack__(stream=stream) if stream is not None else self.data.__dlpack__()
+    def __dlpack__(self, stream=None, max_version=None, dl_device=None, copy=None):
+        """DLPack export (Array-API kwargs validated like the reference's
+        manual C-ABI layer, /root/reference/src/python/dlpack.rs)."""
+        from .dtypes import dlpack_export
+
+        return dlpack_export(self.data, stream, max_version, dl_device, copy)
 
     def __dlpack_device__(self):
         return self.data.__dlpack_device__()
@@ -182,6 +184,22 @@ class StftResult:
     def n_channels(self) -> int:
         return self.data.shape[0] if self.data.ndim == 3 else 1
 
+    @property
+    def shape(self):
+        return tuple(self.data.shape)
+
+    @property
+    def dtype(self) -> str:
+        """Real-precision dtype name (reference getter, params.rs:362)."""
+        from .dtypes import real_dtype_name
+
+        return real_dtype_name(self.data.dtype)
+
+    def norm(self) -> jax.Array:
+        """Magnitude |X| at the matching real precision (reference method,
+        python/params.rs:412)."""
+        return jnp.abs(self.data)
+
     def to_numpy(self) -> np.ndarray:
         from .dtypes import to_numpy_safe
 
@@ -191,10 +209,12 @@ class StftResult:
         arr = self.to_numpy()
         return arr.astype(dtype) if dtype is not None else arr
 
-    def __dlpack__(self, stream=None):
-        """DLPack export (zero-copy; parity with the reference's manual
-        DLPack C-ABI layer, /root/reference/src/python/dlpack.rs)."""
-        return self.data.__dlpack__(stream=stream) if stream is not None else self.data.__dlpack__()
+    def __dlpack__(self, stream=None, max_version=None, dl_device=None, copy=None):
+        """DLPack export (Array-API kwargs validated like the reference's
+        manual C-ABI layer, /root/reference/src/python/dlpack.rs)."""
+        from .dtypes import dlpack_export
+
+        return dlpack_export(self.data, stream, max_version, dl_device, copy)
 
     def __dlpack_device__(self):
         return self.data.__dlpack_device__()

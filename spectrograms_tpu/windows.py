@@ -65,21 +65,12 @@ class WindowType:
             raise InvalidInputError("Custom window coefficients cannot be empty")
 
     # ---- constructors -------------------------------------------------
-    @classmethod
-    def rectangular(cls) -> "WindowType":
-        return cls("rectangular")
-
-    @classmethod
-    def hanning(cls) -> "WindowType":
-        return cls("hanning")
-
-    @classmethod
-    def hamming(cls) -> "WindowType":
-        return cls("hamming")
-
-    @classmethod
-    def blackman(cls) -> "WindowType":
-        return cls("blackman")
+    # The four parameterless kinds are CLASS ATTRIBUTES holding instances
+    # (assigned below) — the reference exposes them as PyO3 classattrs
+    # (params.rs:43-78), so `window=WindowType.hanning` (no call) must work.
+    # __call__ returns self so the callable spelling keeps working too.
+    def __call__(self) -> "WindowType":
+        return self
 
     @classmethod
     def kaiser(cls, beta: float) -> "WindowType":
@@ -153,13 +144,58 @@ class WindowType:
     def from_str(cls, s: str) -> "WindowType":
         return parse_window(s)
 
+    # ---- coefficient generators (reference staticmethods, params.rs:190-320)
+    @staticmethod
+    def make_rectangular(n: int, dtype=None) -> np.ndarray:
+        """Rectangular window coefficients of length n."""
+        return make_window(WindowType("rectangular"), n, _gen_dtype(dtype))
 
-# Singleton-style constants (parity with the reference pyclass classattrs,
-# /root/reference/src/python/params.rs:21).
+    @staticmethod
+    def make_hanning(n: int, dtype=None) -> np.ndarray:
+        """Hanning window coefficients of length n."""
+        return make_window(WindowType("hanning"), n, _gen_dtype(dtype))
+
+    @staticmethod
+    def make_hamming(n: int, dtype=None) -> np.ndarray:
+        """Hamming window coefficients of length n."""
+        return make_window(WindowType("hamming"), n, _gen_dtype(dtype))
+
+    @staticmethod
+    def make_blackman(n: int, dtype=None) -> np.ndarray:
+        """Blackman window coefficients of length n."""
+        return make_window(WindowType("blackman"), n, _gen_dtype(dtype))
+
+    @staticmethod
+    def make_kaiser(n: int, beta: float, dtype=None) -> np.ndarray:
+        """Kaiser window coefficients of length n with shape beta."""
+        return make_window(WindowType("kaiser", param=float(beta)), n, _gen_dtype(dtype))
+
+    @staticmethod
+    def make_gaussian(n: int, std: float, dtype=None) -> np.ndarray:
+        """Gaussian window coefficients of length n with width std."""
+        return make_window(WindowType("gaussian", param=float(std)), n, _gen_dtype(dtype))
+
+
+# Classattr instances (parity with the reference pyclass classattrs,
+# /root/reference/src/python/params.rs:43-78): both `WindowType.hanning` and
+# `WindowType.hanning()` yield the hanning spec. Uppercase aliases kept.
+WindowType.rectangular = WindowType("rectangular")
+WindowType.hanning = WindowType("hanning")
+WindowType.hamming = WindowType("hamming")
+WindowType.blackman = WindowType("blackman")
 WindowType.RECTANGULAR = WindowType("rectangular")
 WindowType.HANNING = WindowType("hanning")
 WindowType.HAMMING = WindowType("hamming")
 WindowType.BLACKMAN = WindowType("blackman")
+
+
+def _gen_dtype(dtype):
+    """Reference generator dtype semantics: default float64, strings parsed."""
+    if dtype is None:
+        return np.float64
+    from .dtypes import parse_dtype
+
+    return parse_dtype(dtype)
 
 
 _WINDOW_RE = re.compile(
