@@ -21,7 +21,7 @@ from .errors import (
     FftBackendError,
     InternalError,
 )
-from .dtypes import parse_dtype, complex_dtype, ensure_x64
+from .dtypes import get_default_dtype, parse_dtype, set_default_dtype, complex_dtype, ensure_x64
 from .windows import (
     WindowType,
     make_window,
@@ -177,6 +177,8 @@ __all__ = [
     "InternalError",
     # dtypes
     "parse_dtype",
+    "set_default_dtype",
+    "get_default_dtype",
     "complex_dtype",
     "ensure_x64",
     # windows

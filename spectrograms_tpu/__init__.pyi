@@ -2157,8 +2157,21 @@ def parse_dtype(dtype = None):
     """Parse a dtype spec ("float32"/"f32"/"float64"/"f64"/"bfloat16"/…).
 
     Accepts strings, numpy dtypes, and python types. ``None`` gives the
-    framework default (float32).
+    framework default (float32; see :func:`set_default_dtype`).
     """
+    ...
+
+def set_default_dtype(dtype):
+    """Set the dtype used when ``dtype=None`` (framework default: float32).
+
+    ``set_default_dtype("float64")`` restores the reference's default
+    precision for drop-in compatibility (requires jax x64 mode; run the f64
+    paths on the CPU backend — TPU f64 is emulated).
+    """
+    ...
+
+def get_default_dtype():
+    """The dtype used when ``dtype=None``."""
     ...
 
 def complex_dtype(real_dtype):

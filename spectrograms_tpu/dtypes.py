@@ -19,7 +19,7 @@ import numpy as np
 
 from .errors import InvalidInputError
 
-__all__ = ["parse_dtype", "complex_dtype", "DEFAULT_DTYPE", "ensure_x64", "to_numpy_safe", "real_dtype_name", "dlpack_export"]
+__all__ = ["parse_dtype", "complex_dtype", "DEFAULT_DTYPE", "ensure_x64", "to_numpy_safe", "real_dtype_name", "dlpack_export", "set_default_dtype", "get_default_dtype"]
 
 # TPU-first default. The reference defaults to float64
 # (/root/reference/src/python/dtype.rs: parse_dtype default f64); we default to
@@ -45,14 +45,35 @@ except ImportError:  # pragma: no cover
     del _ALIASES["bfloat16"], _ALIASES["bf16"]
 
 
+_default_dtype = DEFAULT_DTYPE
+
+
+def set_default_dtype(dtype) -> None:
+    """Set the dtype used when ``dtype=None`` (framework default: float32).
+
+    ``set_default_dtype("float64")`` restores the reference's default
+    precision for drop-in compatibility (requires jax x64 mode; run the f64
+    paths on the CPU backend — TPU f64 is emulated).
+    """
+    global _default_dtype
+    dt = parse_dtype(dtype)
+    ensure_x64(dt)
+    _default_dtype = dt.type
+
+
+def get_default_dtype() -> np.dtype:
+    """The dtype used when ``dtype=None``."""
+    return np.dtype(_default_dtype)
+
+
 def parse_dtype(dtype=None) -> np.dtype:
     """Parse a dtype spec ("float32"/"f32"/"float64"/"f64"/"bfloat16"/…).
 
     Accepts strings, numpy dtypes, and python types. ``None`` gives the
-    framework default (float32).
+    framework default (float32; see :func:`set_default_dtype`).
     """
     if dtype is None:
-        return np.dtype(DEFAULT_DTYPE)
+        return np.dtype(_default_dtype)
     if isinstance(dtype, str):
         key = dtype.strip().lower()
         if key in _ALIASES:

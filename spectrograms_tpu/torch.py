@@ -40,6 +40,24 @@ class TorchSpectrogram:
     def shape(self):
         return tuple(self.tensor.shape)
 
+    def _moved(self, tensor) -> "TorchSpectrogram":
+        return TorchSpectrogram(
+            tensor, self.frequencies, self.times, self.params, self.db_range
+        )
+
+    def to(self, device) -> "TorchSpectrogram":
+        """Move the tensor to a device, keeping metadata (reference
+        torch.py:66)."""
+        return self._moved(self.tensor.to(device))
+
+    def cpu(self) -> "TorchSpectrogram":
+        return self._moved(self.tensor.cpu())
+
+    def cuda(self, device=None) -> "TorchSpectrogram":
+        return self._moved(
+            self.tensor.cuda(device) if device is not None else self.tensor.cuda()
+        )
+
 
 def _jax_to_torch(arr, device=None, dtype=None):
     import torch

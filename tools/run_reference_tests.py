@@ -6,10 +6,9 @@ into a temp dir with a conftest that aliases ``spectrograms`` →
 ``spectrograms_tpu`` (including submodules, so ``import spectrograms.torch``
 patches the real classes), and run them.
 
-Round-2 result: 197 passed / 14 failed / 4 skipped — every failure asserts
-the reference's float64 *default* dtype, which this framework intentionally
-changes to float32 (TPU-native precision; pass dtype="float64" for the
-verification path). No behavioral failures.
+With ``set_default_dtype("float64")`` (the compatibility switch for the one
+intentional divergence — our default is TPU-native float32) the reference
+suite passes clean: round-2 result 211 passed / 4 skipped.
 
 Usage: /opt/venv/bin/python tools/run_reference_tests.py [pytest args]
 """
@@ -30,6 +29,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 import spectrograms_tpu
+spectrograms_tpu.set_default_dtype("float64")  # reference default precision
 import spectrograms_tpu.torch
 import spectrograms_tpu.jax
 for name, mod in list(sys.modules.items()):
