@@ -143,7 +143,12 @@ def bench_numpy_baseline(batch: np.ndarray) -> float:
 def main() -> None:
     batch = _signals()
     baseline = bench_numpy_baseline(batch)
-    ours, dt = bench_tpu(batch)
+    try:
+        ours, dt = bench_tpu(batch)
+    except Exception as e:  # transient remote-compile failures (HTTP 500)
+        print(f"# bench_tpu attempt 1 failed ({type(e).__name__}); retrying",
+              file=sys.stderr)
+        ours, dt = bench_tpu(batch)
     print(
         json.dumps(
             {
