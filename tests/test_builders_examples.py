@@ -67,6 +67,10 @@ EXAMPLES = [
     "resample_rates.py",
     "mdct_codec.py",
     "filters_minphase.py",
+    "fft2d_basic.py",
+    "fft_padding.py",
+    "precision_modes.py",
+    "trainable_frontend.py",
 ]
 
 REPO = Path(__file__).resolve().parents[1]
