@@ -56,7 +56,17 @@ except Exception:  # pragma: no cover
 
 VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
-from .pallas_stft import _round_up, _split_bf16  # noqa: E402 — shared helpers
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _split_bf16(a: np.ndarray):
+    """f32 → (hi, lo) bf16 pair with a ≈ hi + lo."""
+    a32 = a.astype(np.float32)
+    hi = a32.astype(jnp.bfloat16)
+    lo = (a32 - np.asarray(hi, dtype=np.float32)).astype(jnp.bfloat16)
+    return np.asarray(hi), np.asarray(lo)
 
 
 def supports_factored_fusion(n_fft: int, hop: int, dtype) -> bool:
@@ -214,9 +224,9 @@ def fused_factored_features(
         )
     if mapping_key is None:
         raise InvalidInputError(
-            "factored fusion requires a filterbank mapping (the Hermitian "
-            "fold rides the filterbank matrix); use the dense kernel for "
-            "linear spectrograms"
+            "factored fusion requires a mapping matrix; pass an identity "
+            "(n_bins × n_bins) filterbank for linear spectrograms — the "
+            "Hermitian fold rides the mapping"
         )
     if amp not in ("power", "magnitude", "decibels"):
         raise InvalidInputError(f"unknown amp {amp!r}")

@@ -371,7 +371,6 @@ class SpectrogramPlan:
                 fused_factored_features,
                 supports_factored_fusion,
             )
-            from .ops.pallas_stft import fused_spectrogram, supports_pallas_fusion
 
             if freq_scale == FreqScale.CQT:
                 raise InvalidInputError("method='pallas' does not cover CQT plans")
@@ -381,47 +380,36 @@ class SpectrogramPlan:
                     "HIGH -> bf16x3) and cannot honor precision=HIGHEST; use "
                     "method='fft' or 'matmul' for full f32 accuracy"
                 )
+            if not supports_factored_fusion(n_fft, hop, self._dtype):
+                raise InvalidInputError(
+                    "method='pallas' requires float32 and n_fft = 128·2^k in "
+                    f"256..4096 (any hop); got n_fft={n_fft}, hop={hop}"
+                )
             pallas_precision = (
                 "bf16" if self.precision == jax.lax.Precision.DEFAULT else "bf16x3"
             )
-            use_factored = mapping is not None and supports_factored_fusion(
-                n_fft, hop, self._dtype
+            # Fused Cooley-Tukey kernel, Hermitian fold baked into the
+            # mapping. Linear plans ride an identity mapping — still ~2×
+            # fewer MXU MACs than the dense DFT (the bin reordering is free
+            # inside the folded matrix; measured 1.15× on v5e,
+            # docs/KERNEL_AB.md).
+            kernel_mapping = (
+                mapping
+                if mapping is not None
+                else np.eye(r2c_output_size(n_fft), dtype=np.float64)
             )
-            self._pallas_factored = use_factored
-            if use_factored:
-                # Fused Cooley-Tukey kernel: ~5× fewer MXU MACs than the
-                # dense DFT, Hermitian fold baked into the filterbank.
-                self._pallas_run = fused_factored_features(
-                    n_fft,
-                    hop,
-                    tuple(window64.tolist()),
-                    tuple(map(tuple, mapping.tolist())),
-                    amp=amp_scale.value,
-                    floor_db=self._floor_db if self._floor_db is not None else -80.0,
-                    precision=pallas_precision,
-                    centre=stft_p.centre,
-                    interpret=jax.default_backend() == "cpu",
-                )
-            else:
-                if not supports_pallas_fusion(n_fft, hop, self._dtype):
-                    raise InvalidInputError(
-                        "method='pallas' requires float32 and either a "
-                        "filterbank scale with n_fft = 128·2^k (factored "
-                        "kernel, any hop) or hop | n_fft with hop % 128 == 0 "
-                        f"and n_fft <= 4096 (dense kernel); got n_fft={n_fft}, "
-                        f"hop={hop}"
-                    )
-                self._pallas_run = fused_spectrogram(
-                    n_fft,
-                    hop,
-                    tuple(window64.tolist()),
-                    None if mapping is None else tuple(map(tuple, mapping.tolist())),
-                    amp=amp_scale.value,
-                    floor_db=self._floor_db if self._floor_db is not None else -80.0,
-                    precision=pallas_precision,
-                    centre=stft_p.centre,
-                    interpret=jax.default_backend() == "cpu",
-                )
+            self._pallas_factored = True
+            self._pallas_run = fused_factored_features(
+                n_fft,
+                hop,
+                tuple(window64.tolist()),
+                tuple(map(tuple, kernel_mapping.tolist())),
+                amp=amp_scale.value,
+                floor_db=self._floor_db if self._floor_db is not None else -80.0,
+                precision=pallas_precision,
+                centre=stft_p.centre,
+                interpret=jax.default_backend() == "cpu",
+            )
             # The fused kernel frames internally and handles (n,) and (B, n).
             # Gradients flow through the mathematically-equivalent XLA path
             # (pallas_call has no VJP; the dense DFT constants are built

@@ -133,7 +133,7 @@ def plan_cost(plan, n_samples: int, batch: int = 1) -> CostEstimate:
         bytes_hbm += 2 * frames_elems * itemsize          # frames read ×2
         bytes_hbm += 2 * n_fft * k_bins * itemsize        # kernels
         bytes_hbm += n_frames * k_bins * itemsize         # output
-    elif plan.method == "pallas" and getattr(plan, "_pallas_factored", False):
+    elif plan.method == "pallas":
         # Fused Cooley-Tukey kernel (ops/pallas_factored.py): packed complex
         # outer dots over r/2+1 Hermitian classes; inner r-DFT + twiddles on
         # the VPU; everything VMEM-resident (signal in, features out).
@@ -152,7 +152,7 @@ def plan_cost(plan, n_samples: int, batch: int = 1) -> CostEstimate:
         flops += 3 * n_frames * n_spec_bins               # re²+im²
         bytes_hbm += 4 * frames_elems * itemsize          # frames ×2 + re/im
         bytes_hbm += n_frames * n_spec_bins * itemsize
-    elif plan.method in ("matmul", "pallas"):
+    elif plan.method == "matmul":
         flops += 2 * 2 * frames_elems * n_spec_bins       # cos+sin matmuls
         flops += 3 * n_frames * n_spec_bins               # re²+im²
         bytes_hbm += 2 * frames_elems * itemsize

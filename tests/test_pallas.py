@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 import spectrograms_tpu as sg
-from spectrograms_tpu.ops.pallas_stft import supports_pallas_fusion
+from spectrograms_tpu.ops.pallas_factored import supports_factored_fusion
 from tests.conftest import noise, sine
 
 
@@ -15,11 +15,11 @@ DB = sg.LogParams(-80.0)
 
 
 def test_supports_predicate():
-    assert supports_pallas_fusion(1024, 256, np.float32)
-    assert not supports_pallas_fusion(1024, 256, np.float64)
-    assert not supports_pallas_fusion(1000, 256, np.float32)  # hop ∤ n_fft
-    assert not supports_pallas_fusion(1024, 100, np.float32)  # hop % 128
-    assert not supports_pallas_fusion(8192, 1024, np.float32)  # too large
+    assert supports_factored_fusion(1024, 256, np.float32)
+    assert supports_factored_fusion(1024, 100, np.float32)   # any hop
+    assert not supports_factored_fusion(1024, 256, np.float64)
+    assert not supports_factored_fusion(1000, 256, np.float32)  # not 128·2^k
+    assert not supports_factored_fusion(8192, 1024, np.float32)  # too large
 
 
 @pytest.mark.parametrize("scale", ["mel", "linear"])
