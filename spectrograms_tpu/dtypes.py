@@ -19,7 +19,7 @@ import numpy as np
 
 from .errors import InvalidInputError
 
-__all__ = ["parse_dtype", "complex_dtype", "DEFAULT_DTYPE", "ensure_x64", "to_numpy_safe", "real_dtype_name", "dlpack_export", "set_default_dtype", "get_default_dtype"]
+__all__ = ["parse_dtype", "complex_dtype", "DEFAULT_DTYPE", "ensure_x64", "ensure_plan_dtype", "to_numpy_safe", "real_dtype_name", "dlpack_export", "set_default_dtype", "get_default_dtype"]
 
 # TPU-first default. The reference defaults to float64
 # (/root/reference/src/python/dtype.rs: parse_dtype default f64); we default to
@@ -97,6 +97,23 @@ def complex_dtype(real_dtype) -> np.dtype:
     if dt == np.float64:
         return np.dtype(np.complex128)
     return np.dtype(np.complex64)
+
+
+def ensure_plan_dtype(dtype) -> None:
+    """Plans compute in float32 or float64 only.
+
+    bfloat16 *storage* of spectrograms buys nothing here (the dB/filterbank
+    math would degrade with no speed gain); bf16 MXU arithmetic is what the
+    ``precision`` knob controls (``Precision.DEFAULT`` = 1-pass bf16 with
+    f32 accumulation — the fast path users actually want).
+    """
+    dt = np.dtype(dtype)
+    if dt not in (np.dtype(np.float32), np.dtype(np.float64)):
+        raise InvalidInputError(
+            f"plans compute in float32/float64, got {dt}; for bf16 MXU "
+            "arithmetic pass precision=jax.lax.Precision.DEFAULT to a "
+            "float32 plan"
+        )
 
 
 def ensure_x64(dtype) -> None:

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .dtypes import complex_dtype, ensure_x64, parse_dtype
+from .dtypes import complex_dtype, ensure_plan_dtype, ensure_x64, parse_dtype
 from .errors import InvalidInputError
 from .params import (
     ChromaParams,
@@ -287,6 +287,7 @@ class SpectrogramPlan:
         self.scale_params = scale_params
         self.log_params = log_params
         self._dtype = parse_dtype(dtype)
+        ensure_plan_dtype(self._dtype)
         ensure_x64(self._dtype)
         if precision is None:
             precision = (
@@ -548,6 +549,7 @@ class StftPlan:
     def __init__(self, params: SpectrogramParams, dtype=None):
         self.params = params
         self._dtype = parse_dtype(dtype)
+        ensure_plan_dtype(self._dtype)
         ensure_x64(self._dtype)
         stft_p = params.stft
         self._n_fft, self._hop, self._centre = stft_p.n_fft, stft_p.hop_size, stft_p.centre

@@ -125,3 +125,14 @@ def test_log_params():
     assert sg.LogParams().floor_db == -80.0
     with pytest.raises(sg.InvalidInputError):
         sg.LogParams(float("nan"))
+
+
+def test_bfloat16_plan_dtype_rejected_with_guidance():
+    # bf16 storage buys nothing; bf16 MXU arithmetic rides the precision knob.
+    with pytest.raises(sg.InvalidInputError, match="precision"):
+        sg.MelDbPlan(
+            sg.SpectrogramParams(sg.StftParams(512, 128), 16000.0),
+            sg.MelParams(40, 0.0, 8000.0),
+            sg.LogParams(-80.0),
+            dtype="bfloat16",
+        )
