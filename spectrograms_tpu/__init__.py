@@ -166,7 +166,7 @@ from . import serde
 from . import runtime
 from .cache import fft_plan_cache_info, clear_fft_plan_cache, cache_stats
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     # errors
