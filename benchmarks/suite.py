@@ -22,8 +22,16 @@ import numpy as np
 K1, K2, REPS = 1, 9, 5
 
 
-def _slope_time(make_chained, arg):
+def _slope_time(make_chained, arg, k2: int = None):
+    """Per-iteration time via the slope protocol.
+
+    ``k2`` must be large enough that the (k2−1)·dt signal clearly exceeds
+    the tunnel's dispatch-floor noise (~5 ms on bad days) — sub-millisecond
+    configs use k2=65, heavier ones can use fewer iterations.
+    """
     import jax
+
+    k2 = K2 if k2 is None else k2
 
     def timed(f):
         float(f(arg))
@@ -35,8 +43,8 @@ def _slope_time(make_chained, arg):
         return best
 
     t1 = timed(jax.jit(make_chained(K1)))
-    t2 = timed(jax.jit(make_chained(K2)))
-    return (t2 - t1) / (K2 - K1)
+    t2 = timed(jax.jit(make_chained(k2)))
+    return (t2 - t1) / (k2 - K1)
 
 
 def _chain(step):
@@ -100,7 +108,7 @@ def config2_mel_db_batch():
     mel = sg.MelParams(128, 0.0, 8000.0, sg.MelNorm.SLANEY)
     plan = sg.MelDbPlan(params, mel, sg.LogParams(-80.0), dtype="float32")
     step = plan._forward_batch.__wrapped__  # pallas fused kernel under auto on TPU
-    dt = _slope_time(_chain(step), jax.device_put(jnp.asarray(batch)))
+    dt = _slope_time(_chain(step), jax.device_put(jnp.asarray(batch)), k2=65)
     return {
         "config": "2: mel128+dB batch 32x10s f32",
         "value": round(dt * 1e3, 4),
@@ -132,7 +140,7 @@ def config3_mfcc_delta():
         m = fwd(xb)
         return jnp.concatenate([m, sg.delta(m)], axis=1)
 
-    dt = _slope_time(_chain(step), jax.device_put(jnp.asarray(batch)))
+    dt = _slope_time(_chain(step), jax.device_put(jnp.asarray(batch)), k2=65)
     return {
         "config": "3: MFCC-40+delta batch 32x10s f32",
         "value": round(dt * 1e3, 4),
@@ -174,7 +182,7 @@ def config4_cqt_chroma_mdct(batch: int = 64):
         b = chroma_fwd(xb)
         back = jax.vmap(mdct_one)(xb)
         return jnp.sum(a) + jnp.sum(b) + jnp.sum(back)
-    dt = _slope_time(_chain(step), jax.device_put(jnp.asarray(xb)))
+    dt = _slope_time(_chain(step), jax.device_put(jnp.asarray(xb)), k2=17)
     return {
         "config": f"4: CQT-84 + chroma + MDCT roundtrip batch {batch}x5s@44.1kHz f32",
         "value": round(dt * 1e3, 4),
