@@ -141,10 +141,8 @@ def bench_numpy_baseline(batch: np.ndarray) -> float:
 
     _numpy_mel_mfcc(batch[:2], mel_fb32, dct32, window)  # warmup
     t0 = time.perf_counter()
-    n_iters = 2
-    for _ in range(n_iters):
-        _numpy_mel_mfcc(batch, mel_fb32, dct32, window)
-    dt = (time.perf_counter() - t0) / n_iters
+    _numpy_mel_mfcc(batch, mel_fb32, dct32, window)
+    dt = time.perf_counter() - t0
     return BATCH * CLIP_SECONDS / dt
 
 
