@@ -221,24 +221,7 @@ def config5_streaming_image():
 
     # This config's per-step time is tiny (~0.2 ms) relative to shared-chip
     # noise; stretch the slope baseline (K=65 vs 9) for a usable signal.
-    def slope65(make, arg):
-        import jax as _jax
-        import time as _time
-
-        def timed(f):
-            float(f(arg))
-            best = 1e9
-            for _ in range(REPS):
-                t0 = _time.perf_counter()
-                float(f(arg))
-                best = min(best, _time.perf_counter() - t0)
-            return best
-
-        t1 = timed(_jax.jit(make(1)))
-        t2 = timed(_jax.jit(make(65)))
-        return (t2 - t1) / 64
-
-    dt = slope65(_chain(step), jax.device_put(jnp.asarray(frames)))
+    dt = _slope_time(_chain(step), jax.device_put(jnp.asarray(frames)), k2=65)
     block_audio = frames_per_block * 128 / sr
     return {
         "config": "5: streaming 64-frame block + 512x512 blur+edges f32",

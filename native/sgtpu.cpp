@@ -671,21 +671,26 @@ void build_resample_table(double ratio, ResampleTable* t) {
 
 }  // namespace
 
-// Resamples n_in float32 samples from sr_in to sr_out. out must hold
-// ceil(n_in * sr_out / sr_in) floats; returns the number written, or -1.
+// Resamples n_in float32 samples from sr_in to sr_out into out, which holds
+// max_out floats; writes min(ceil-resampled-length, max_out) samples and
+// returns the count, or -1. The capacity clamp guards against the caller and
+// callee disagreeing on the rounded output length (double arithmetic at
+// exact rational boundaries).
 SG_API int64_t sg_resample(const float* in, int64_t n_in, double sr_in,
-                           double sr_out, float* out) try {
-  if (n_in <= 0 || sr_in <= 0.0 || sr_out <= 0.0) {
+                           double sr_out, float* out, int64_t max_out) try {
+  if (n_in <= 0 || sr_in <= 0.0 || sr_out <= 0.0 || max_out < 0) {
     set_error("sg_resample: invalid arguments");
     return -1;
   }
   if (sr_in == sr_out) {
-    memcpy(out, in, static_cast<size_t>(n_in) * sizeof(float));
-    return n_in;
+    const int64_t n_copy = n_in < max_out ? n_in : max_out;
+    memcpy(out, in, static_cast<size_t>(n_copy) * sizeof(float));
+    return n_copy;
   }
   const double ratio = sr_out / sr_in;
-  const int64_t n_out =
+  int64_t n_out =
       static_cast<int64_t>(std::ceil(static_cast<double>(n_in) * ratio));
+  if (n_out > max_out) n_out = max_out;
   ResampleTable table;
   build_resample_table(ratio, &table);
   const int taps = 2 * RS_HALF;

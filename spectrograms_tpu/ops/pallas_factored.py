@@ -199,7 +199,7 @@ def fused_factored_features(
     n_fft: int,
     hop: int,
     window_key,                # tuple(f64 window) or None
-    mapping_key,               # tuple-of-tuples (n_out, n_bins) — REQUIRED
+    mapping_key,               # tuple-of-tuples (n_out, n_bins) or "identity"
     amp: str = "power",
     floor_db: float = -80.0,
     precision: str = "bf16x3",
@@ -211,9 +211,12 @@ def fused_factored_features(
 ):
     """Build the fused program: (B, n) f32 signal → (B, n_out, n_frames).
 
-    ``mapping_key`` must be a dense filterbank (mel/erb/loghz); the Hermitian
-    fold is baked into it. With ``dct_key`` the output is the DCT tail (MFCC)
-    instead of the filterbank features.
+    ``mapping_key`` must be a dense filterbank (mel/erb/loghz) or the string
+    ``"identity"`` (linear spectrograms — an (n_bins, n_bins) eye is built
+    here so the lru_cache key stays a few bytes instead of holding a
+    megabyte tuple-of-tuples alive); the Hermitian fold is baked into it.
+    With ``dct_key`` the output is the DCT tail (MFCC) instead of the
+    filterbank features.
     """
     if not _PALLAS_OK:
         raise InvalidInputError("pallas is unavailable in this environment")
@@ -224,9 +227,9 @@ def fused_factored_features(
         )
     if mapping_key is None:
         raise InvalidInputError(
-            "factored fusion requires a mapping matrix; pass an identity "
-            "(n_bins × n_bins) filterbank for linear spectrograms — the "
-            "Hermitian fold rides the mapping"
+            "factored fusion requires a mapping matrix; pass "
+            "mapping_key='identity' for linear spectrograms — the Hermitian "
+            "fold rides the mapping"
         )
     if amp not in ("power", "magnitude", "decibels"):
         raise InvalidInputError(f"unknown amp {amp!r}")
@@ -273,7 +276,12 @@ def fused_factored_features(
         tw[c, 128:] = -np.sin(th)
     tw = tw.astype(np.float32)
 
-    fb = np.asarray(mapping_key, dtype=np.float64)           # (n_out, n_bins)
+    if isinstance(mapping_key, str):
+        if mapping_key != "identity":
+            raise InvalidInputError(f"unknown mapping_key {mapping_key!r}")
+        fb = np.eye(n_bins, dtype=np.float64)
+    else:
+        fb = np.asarray(mapping_key, dtype=np.float64)       # (n_out, n_bins)
     if fb.shape[1] != n_bins:
         raise InvalidInputError(
             f"mapping has {fb.shape[1]} bins, expected {n_bins}"

@@ -384,27 +384,31 @@ class SpectrogramPlan:
             if not supports_factored_fusion(n_fft, hop, self._dtype):
                 raise InvalidInputError(
                     "method='pallas' requires float32 and n_fft = 128·2^k in "
-                    f"256..4096 (any hop); got n_fft={n_fft}, hop={hop}"
+                    f"256..4096 (any hop); got n_fft={n_fft}, hop={hop}. "
+                    "(0.2.0 change: the fused factored kernel replaced the "
+                    "0.1.x dense kernel, which accepted any n_fft; use "
+                    "method='auto' or 'matmul' for other sizes)"
                 )
             pallas_precision = (
                 "bf16" if self.precision == jax.lax.Precision.DEFAULT else "bf16x3"
             )
             # Fused Cooley-Tukey kernel, Hermitian fold baked into the
-            # mapping. Linear plans ride an identity mapping — still ~2×
-            # fewer MXU MACs than the dense DFT (the bin reordering is free
-            # inside the folded matrix; measured 1.15× on v5e,
-            # docs/KERNEL_AB.md).
+            # mapping. Linear plans ride an identity mapping ("identity"
+            # sentinel — the eye is built inside the cached factory so the
+            # lru_cache key stays small) — still ~2× fewer MXU MACs than the
+            # dense DFT (the bin reordering is free inside the folded matrix;
+            # measured 1.15× on v5e, docs/KERNEL_AB.md).
             kernel_mapping = (
-                mapping
+                tuple(map(tuple, mapping.tolist()))
                 if mapping is not None
-                else np.eye(r2c_output_size(n_fft), dtype=np.float64)
+                else "identity"
             )
             self._pallas_factored = True
             self._pallas_run = fused_factored_features(
                 n_fft,
                 hop,
                 tuple(window64.tolist()),
-                tuple(map(tuple, kernel_mapping.tolist())),
+                kernel_mapping,
                 amp=amp_scale.value,
                 floor_db=self._floor_db if self._floor_db is not None else -80.0,
                 precision=pallas_precision,

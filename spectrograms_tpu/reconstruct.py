@@ -176,9 +176,10 @@ def griffin_lim(
     w = jnp.asarray(w64.astype(real_dt))
     # MXU matmul lowering for the hot loop on f32 MXU-friendly sizes; XLA FFT
     # remains the f64/large-size path (same policy as the forward plans).
-    use_matmul = real_dt == jnp.float32 and n_fft <= 4096
+    from .ops.dft import MATMUL_MAX_N_FFT, irdft_matrices, rdft_matrices
+
+    use_matmul = real_dt == jnp.float32 and n_fft <= MATMUL_MAX_N_FFT
     if use_matmul:
-        from .ops.dft import MATMUL_MAX_N_FFT, irdft_matrices, rdft_matrices
 
         c_f, s_f = rdft_matrices(n_fft, w64, np.float32)
         c_i, s_i = irdft_matrices(n_fft, np.float32)

@@ -103,6 +103,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_double,
         c.c_double,
         c.POINTER(c.c_float),
+        c.c_int64,
     ]
     lib.sg_loader_next.restype = c.c_int64
     lib.sg_loader_next.argtypes = [

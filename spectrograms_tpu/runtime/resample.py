@@ -36,12 +36,15 @@ def _native_resample(x, sr_in: float, sr_out: float):
     xc = np.ascontiguousarray(x, dtype=np.float32)
     out_len = int(np.ceil(xc.shape[0] * sr_out / sr_in))
     out = np.empty(out_len, dtype=np.float32)
+    # The buffer capacity rides along: C++ clamps to it, so a double-rounding
+    # disagreement on the output length can never write past the allocation.
     n = lib.sg_resample(
         xc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         xc.shape[0],
         sr_in,
         sr_out,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_len,
     )
     if n < 0:
         return None
@@ -84,8 +87,14 @@ def resample(
         return np.array(x, copy=True)
 
     # Fast path: the C++ polyphase kernel (same math, tabulated Kaiser-sinc)
-    # — keeps serving-path conversions off the Python interpreter.
-    if np.dtype(x.dtype) == np.float32:
+    # — keeps serving-path conversions off the Python interpreter. Only the
+    # default filter design exists natively; custom half_width/attenuation
+    # fall through to the numpy kernel.
+    if (
+        np.dtype(x.dtype) == np.float32
+        and half_width == 32
+        and attenuation_db == 90.0
+    ):
         native = _native_resample(x, float(sr_in), float(sr_out))
         if native is not None:
             return native
@@ -94,7 +103,10 @@ def resample(
     xf = x.astype(np.float64)
     n = xf.shape[0]
     ratio = float(sr_out) / float(sr_in)
-    out_len = int(np.ceil(n * ratio))
+    # Same expression as the loader and the native binding (n·sr_out first,
+    # then divide): ceil(n·(sr_out/sr_in)) differs by one at exact rational
+    # boundaries, e.g. 147 samples 44100→48000.
+    out_len = int(np.ceil(n * float(sr_out) / float(sr_in)))
 
     # Anti-aliasing cutoff: at or below the narrower Nyquist.
     cutoff = min(1.0, ratio)

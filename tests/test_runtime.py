@@ -305,3 +305,37 @@ def test_native_resample_matches_numpy_kernel():
     ref = resample(x.astype(np.float64), sr_in, sr_out)  # f64 → numpy path
     assert nat.shape[0] == ref.shape[0]
     np.testing.assert_allclose(nat[100:-100], ref[100:-100], atol=2e-5)
+
+
+def test_resample_length_at_rational_boundary():
+    """147 samples 44100→48000: n·sr_out/sr_in is exactly 160, but
+    n·(sr_out/sr_in) rounds to 160.00000000000003 → ceil 161. Both kernels
+    must agree on the documented ceil(n·sr_out/sr_in) length (and the C++
+    side must never write past the caller's buffer — this case overflowed
+    by one float before the capacity clamp)."""
+    from spectrograms_tpu.runtime.resample import _native_resample, resample
+
+    x = np.random.default_rng(7).standard_normal(147).astype(np.float32)
+    expected = 160  # ceil(147 * 48000 / 44100)
+    out_np = resample(x.astype(np.float64), 44100, 48000)
+    assert out_np.shape[0] == expected
+    nat = _native_resample(x, 44100.0, 48000.0)
+    if nat is not None:  # native lib present
+        assert nat.shape[0] == expected
+        np.testing.assert_allclose(
+            nat, out_np.astype(np.float32), atol=2e-5
+        )
+
+
+def test_resample_custom_params_skip_native_path():
+    """half_width/attenuation_db are numpy-kernel-only; the native fast path
+    must not silently ignore them."""
+    from spectrograms_tpu.runtime.resample import resample
+
+    x = np.random.default_rng(3).standard_normal(4000).astype(np.float32)
+    default = resample(x, 16000, 22050)
+    custom = resample(x, 16000, 22050, half_width=8, attenuation_db=40.0)
+    assert default.shape == custom.shape
+    # A narrower, leakier filter gives measurably different output; if the
+    # native path had ignored the params these would be bit-identical.
+    assert float(np.abs(default - custom).max()) > 1e-6
