@@ -231,6 +231,40 @@ def config5_streaming_image():
     }
 
 
+def config6_mfcc_bf16_serving():
+    """Flagship MFCC at precision=DEFAULT: 1-pass bf16 MXU dots.
+
+    The serving-mode headroom — same fused kernel as config 3 but the outer
+    FFT stage, mel matmul, and DCT run single-pass bf16 instead of bf16x3
+    (HIGH). Accuracy trades to ~1e-2 relative on the dB-scale MFCCs (fine
+    for inference frontends; training/parity stays on the HIGH default).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import spectrograms_tpu as sg
+    from spectrograms_tpu.mfcc import MfccPlan
+
+    sr = 16000
+    batch = np.random.default_rng(1).standard_normal((32, sr * 10)).astype(np.float32)
+    plan = MfccPlan(
+        sg.StftParams(1024, 256),
+        float(sr),
+        mel_params=sg.MelParams(128, 0.0, 8000.0, sg.MelNorm.SLANEY),
+        mfcc_params=sg.MfccParams(40),
+        dtype="float32",
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    fwd = plan._forward_batch.__wrapped__
+    dt = _slope_time(_chain(fwd), jax.device_put(jnp.asarray(batch)), k2=65)
+    return {
+        "config": "6: MFCC-40 batch 32x10s bf16 serving mode (precision=DEFAULT)",
+        "value": round(dt * 1e3, 4),
+        "unit": "ms/batch",
+        "audio_s_per_s": round(320.0 / dt, 1),
+    }
+
+
 def main():
     # x64 is scoped to config 1 (jax.enable_x64 context): the TPU configs
     # must trace in x32 — global x64 mode injects 64-bit types Mosaic cannot
@@ -242,6 +276,7 @@ def main():
         config3_mfcc_delta,
         config4_cqt_chroma_mdct,
         config5_streaming_image,
+        config6_mfcc_bf16_serving,
     ):
         try:
             r = fn()

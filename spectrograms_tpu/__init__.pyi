@@ -1424,7 +1424,7 @@ class MfccPlan:
     The benchmark flagship: frame gather → windowed real-DFT matmuls → |·|² →
     mel matmul → dB → DCT matmul, all fused by XLA into one device program.
     """
-    def __init__(self, stft_params, sample_rate_hz, n_mels = 40, mfcc_params = ..., mel_params = None, log_params = ..., dtype = None, method = 'auto'):
+    def __init__(self, stft_params, sample_rate_hz, n_mels = 40, mfcc_params = ..., mel_params = None, log_params = ..., dtype = None, method = 'auto', precision = None):
         """Construct and validate; raises InvalidInputError on bad arguments."""
         ...
 

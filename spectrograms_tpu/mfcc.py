@@ -140,6 +140,7 @@ class MfccPlan:
         log_params: LogParams = LogParams(-80.0),
         dtype=None,
         method: str = "auto",
+        precision=None,
     ):
         if mel_params is None:
             mel_params = MelParams(n_mels, 0.0, sample_rate_hz / 2.0)
@@ -156,6 +157,7 @@ class MfccPlan:
             log_params=log_params,
             dtype=self._dtype,
             method=method,
+            precision=precision,
         )
         self._basis = jnp.asarray(
             _dct_lifter_matrix(

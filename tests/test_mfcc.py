@@ -61,6 +61,27 @@ def test_mfcc_plan_batch():
     assert np.abs(out[1] - single).max() <= 1e-3 * np.abs(single).max()
 
 
+def test_mfcc_plan_precision_kwarg():
+    """precision plumbs through to the underlying SpectrogramPlan; DEFAULT is
+    the 1-pass-bf16 serving mode (benchmarks/suite.py config 6). On CPU both
+    paths run f32, so outputs agree to fusion-level tolerance."""
+    import jax
+
+    x = sine(440.0, duration=0.2)
+    hi = sg.MfccPlan(STFT, SR, n_mels=40, mfcc_params=sg.MfccParams(13), dtype="float32")
+    lo = sg.MfccPlan(
+        STFT,
+        SR,
+        n_mels=40,
+        mfcc_params=sg.MfccParams(13),
+        dtype="float32",
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    assert lo._mel_plan.precision == jax.lax.Precision.DEFAULT
+    a, b = np.asarray(hi.compute(x).data), np.asarray(lo.compute(x).data)
+    assert np.abs(a - b).max() <= 1e-3 * np.abs(a).max()
+
+
 def test_delta():
     x = sine(440.0, duration=0.3)
     m = sg.compute_mfcc(x, STFT, SR, n_mels=40, dtype="float64")
