@@ -1483,7 +1483,7 @@ class Chromagram:
 
 class ChromaPlan:
     """Fused signal→magnitude-STFT→chroma pipeline in one jitted program."""
-    def __init__(self, stft_params, sample_rate_hz, chroma_params = ..., dtype = None, method = 'auto'):
+    def __init__(self, stft_params, sample_rate_hz, chroma_params = ..., dtype = None, method = 'auto', precision = None):
         """Construct and validate; raises InvalidInputError on bad arguments."""
         ...
 

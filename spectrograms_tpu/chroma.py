@@ -134,6 +134,7 @@ class ChromaPlan:
         chroma_params: ChromaParams = ChromaParams.music_standard(),
         dtype=None,
         method: str = "auto",
+        precision=None,
     ):
         self.params = chroma_params
         self._dtype = parse_dtype(dtype)
@@ -143,6 +144,7 @@ class ChromaPlan:
         _use_pallas = (
             method in ("auto", "pallas")
             and np.dtype(self._dtype) == np.float32
+            and precision != jax.lax.Precision.HIGHEST
             and _sff(stft_params.n_fft, stft_params.hop_size, self._dtype)
             and (method == "pallas" or jax.default_backend() == "tpu")
         )
@@ -154,6 +156,7 @@ class ChromaPlan:
             AmpScale.MAGNITUDE,
             dtype=self._dtype,
             method="auto" if _use_pallas else method,
+            precision=precision,
         )
         self._fb_t = jnp.asarray(
             chroma_filterbank(sample_rate_hz, stft_params.n_fft, chroma_params)
@@ -189,7 +192,11 @@ class ChromaPlan:
                 tuple(map(tuple, fb64.tolist())),
                 amp="power",
                 pre_amp="magnitude",
-                precision="bf16x3",
+                precision=(
+                    "bf16"
+                    if precision == jax.lax.Precision.DEFAULT
+                    else "bf16x3"
+                ),
                 centre=stft_params.centre,
                 interpret=jax.default_backend() == "cpu",
             )

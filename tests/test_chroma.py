@@ -55,3 +55,24 @@ def test_from_spectrogram_dimension_check():
 def test_zero_signal_no_nan():
     c = np.asarray(sg.compute_chromagram(np.zeros(8000), STFT, SR, dtype="float64").data)
     assert np.all(np.isfinite(c))
+
+
+def test_chroma_plan_precision_kwarg():
+    """precision plumbs to the helper plan and the fused-kernel pass count;
+    HIGHEST forces the full-accuracy matmul path (never pallas)."""
+    import jax
+
+    x = sine(440.0).astype(np.float32)
+    hi = sg.ChromaPlan(STFT, SR, dtype="float32")
+    lo = sg.ChromaPlan(
+        STFT, SR, dtype="float32", precision=jax.lax.Precision.DEFAULT
+    )
+    highest = sg.ChromaPlan(
+        STFT, SR, dtype="float32", precision=jax.lax.Precision.HIGHEST
+    )
+    assert not highest._pallas_factored
+    a = np.asarray(hi.compute(x).data)
+    b = np.asarray(lo.compute(x).data)
+    c = np.asarray(highest.compute(x).data)
+    for other in (b, c):
+        assert np.abs(a - other).max() <= 1e-3 * np.abs(a).max()
