@@ -246,10 +246,12 @@ def fused_factored_features(
     if tile_frames:
         tile_f = int(tile_frames)
     else:
-        # VMEM-aware tile, capped at 128 frames: measured on v5e the smaller
-        # tile pipelines grid steps better (805k vs 736k audio-s/s at 256,
-        # 539k at 512 for the flagship), and the footprint stays ~1 MB.
-        tile_f = max(64, min(128, (2 * 1024 * 1024) // (n_fft * 4)))
+        # VMEM-aware tile, capped at 160 frames. Measured on v5e (interleaved
+        # same-run slope A/B): 160 beats 128 by 6.5-10% at n_fft=1024 and 31%
+        # at n_fft=2048 (0.390 vs 0.513 ms/batch); 96 and 192 are both slower
+        # than 128, and 256/512 lose badly (736k/539k vs 805k audio-s/s).
+        # The cap keeps the frame tile + constants ~1.5 MB of VMEM.
+        tile_f = max(64, min(160, (2 * 1024 * 1024) // (n_fft * 4)))
     x3 = precision == "bf16x3"
 
     # ---- host-built constants (all f64 → f32/bf16 at the edge) -------------
