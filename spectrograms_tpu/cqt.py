@@ -65,8 +65,8 @@ class CqtResult:
         return to_numpy_safe(self.data)
 
 
-@partial(jax.jit, static_argnames=("frame_len", "hop", "n_frames"))
-def _cqt_impl(x, k_re_t, k_im_t, frame_len, hop, n_frames):
+@partial(jax.jit, static_argnames=("frame_len", "hop", "n_frames", "precision"))
+def _cqt_impl(x, k_ri_t, frame_len, hop, n_frames, precision):
     n = x.shape[0]
     # Frames are never partial: frame_len = min(len, 16384) and the frame-count
     # formula keeps every start + frame_len <= len. The pad is a no-op guard.
@@ -75,9 +75,11 @@ def _cqt_impl(x, k_re_t, k_im_t, frame_len, hop, n_frames):
     starts = np.arange(n_frames, dtype=np.int32) * hop
     idx = jnp.asarray(starts[:, None] + np.arange(frame_len, dtype=np.int32)[None, :])
     frames = jnp.take(xp, idx, axis=0)
-    re = jnp.matmul(frames, k_re_t, precision=jax.lax.Precision.HIGHEST)
-    im = jnp.matmul(frames, k_im_t, precision=jax.lax.Precision.HIGHEST)
-    return re.T, im.T
+    # One matmul against the [re | im] concatenated kernels: the frame matrix
+    # (the dominant HBM read at CQT kernel lengths) streams from HBM once.
+    ri = jnp.matmul(frames, k_ri_t, precision=precision)
+    n_bins = k_ri_t.shape[1] // 2
+    return ri[:, :n_bins].T, ri[:, n_bins:].T
 
 
 def cqt(samples, sample_rate: float, params: CqtParams, hop_size: int, dtype=None) -> CqtResult:
@@ -95,13 +97,18 @@ def cqt(samples, sample_rate: float, params: CqtParams, hop_size: int, dtype=Non
     n = x.shape[0]
     n_frames = 1 if n < frame_len else (n - frame_len) // int(hop_size) + 1
 
+    k_ri = np.concatenate([k_re.T, k_im.T], axis=1).astype(dt)
     re, im = _cqt_impl(
         x,
-        jnp.asarray(k_re.T.astype(dt)),
-        jnp.asarray(k_im.T.astype(dt)),
+        jnp.asarray(k_ri),
         int(frame_len),
         int(hop_size),
         int(n_frames),
+        (
+            jax.lax.Precision.HIGHEST
+            if np.dtype(dt) == np.float64
+            else jax.lax.Precision.HIGH
+        ),
     )
     data = (re + 1j * im).astype(complex_dtype(dt))
     return CqtResult(data=data, frequencies=freqs, sample_rate=float(sample_rate),

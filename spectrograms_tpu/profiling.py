@@ -128,9 +128,9 @@ def plan_cost(plan, n_samples: int, batch: int = 1) -> CostEstimate:
 
     if plan.freq_scale == FreqScale.CQT:
         k_bins = plan._cqt_re.shape[1]
-        flops += 2 * 2 * frames_elems * k_bins            # two matmuls
+        flops += 2 * 2 * frames_elems * k_bins            # fused [re|im] matmul
         flops += 3 * n_frames * k_bins                    # |·|²
-        bytes_hbm += 2 * frames_elems * itemsize          # frames read ×2
+        bytes_hbm += frames_elems * itemsize              # frames read once
         bytes_hbm += 2 * n_fft * k_bins * itemsize        # kernels
         bytes_hbm += n_frames * k_bins * itemsize         # output
     elif plan.method == "pallas":
