@@ -54,9 +54,6 @@ try:  # pragma: no cover - import guard
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
-VMEM_BUDGET_BYTES = 12 * 1024 * 1024
-
-
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -252,6 +249,15 @@ def fused_factored_features(
         # than 128, and 256/512 lose badly (736k/539k vs 805k audio-s/s).
         # The cap keeps the frame tile + constants ~1.5 MB of VMEM.
         tile_f = max(64, min(160, (2 * 1024 * 1024) // (n_fft * 4)))
+        if n_fft >= 4096:
+            # At n_fft=4096 the tile-128 kernel's scoped-VMEM stack is
+            # ~16.9 MB when this call is compiled inside a larger program
+            # (suite config 4: chroma + CQT + MDCT in one jit) — over the
+            # 16 MB limit, even though the identical call compiles alone.
+            # Tile 64 costs ~9% standalone (1.90 vs 1.75 ms on the 64×5s
+            # chroma batch) and leaves ~3 MB of margin. Explicit
+            # tile_frames= still overrides.
+            tile_f = min(tile_f, 64)
     x3 = precision == "bf16x3"
 
     # ---- host-built constants (all f64 → f32/bf16 at the edge) -------------
@@ -398,6 +404,14 @@ def fused_factored_features(
             scratch_shapes=scratch,
             interpret=interpret,
         )(*args)
+        # Keep the kernel's output buffer out of scoped VMEM: when this call
+        # is embedded in a larger jit, XLA's alternate-memory pass may pin
+        # the whole (B, nt·tile_f, out_cols) result in VMEM (S(1)), stacking
+        # up to ~8 MB on top of the kernel's own scoped stack. The barrier
+        # demotes it to HBM (verified on the suite-config-4 HLO); the
+        # remaining stack pressure at n_fft=4096 is handled by the tile-64
+        # clamp above.
+        out = jax.lax.optimization_barrier(out)
         return out[:, :nf, :n_final].transpose(0, 2, 1)
 
     def run_x32(x):
