@@ -104,17 +104,21 @@ def _kernel(
     floor_db: float,
     x3: bool,
     with_dct: bool,
+    batch_classes: bool,
 ):
-    def dot3(a, b):
+    def dot3(a, b, b_lo=None):
         # Mosaic lowers f32 dots to a single bf16 MXU pass; in x3 mode do the
         # explicit hi/lo 3-pass (a·b ≈ aₕbₕ + aₕbₗ + aₗbₕ) so the filterbank
-        # and DCT tails keep HIGH accuracy like the DFT stage.
+        # and DCT tails keep HIGH accuracy like the DFT stage. Pass a
+        # presplit bf16 (b, b_lo) pair (e.g. the W2 constants) to skip the
+        # on-the-fly split.
         a_hi = a.astype(jnp.bfloat16)
-        b_hi = b.astype(jnp.bfloat16)
+        b_hi = b if b.dtype == jnp.bfloat16 else b.astype(jnp.bfloat16)
         y = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
         if x3:
             a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            if b_lo is None:
+                b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             y = y + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
             y = y + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
         return y
@@ -139,7 +143,7 @@ def _kernel(
 
     # Inner r-point DFT coefficients as static f32 scalars (exact VPU math).
     n2v = np.arange(r)
-    feat = None
+    bbs = []
     for c in range(classes):
         cc = np.cos(2.0 * np.pi * n2v * c / r)
         ss = -np.sin(2.0 * np.pi * n2v * c / r)
@@ -162,22 +166,35 @@ def _kernel(
         tw_im = tw_ref[c, 128:]
         b_re = y_re * tw_re - y_im * tw_im
         b_im = y_re * tw_im + y_im * tw_re
-        bb = jnp.concatenate([b_re, b_im], axis=1)          # (tile_f, 256) f32
+        bbs.append(jnp.concatenate([b_re, b_im], axis=1))   # (tile_f, 256) f32
 
-        bb_hi = bb.astype(jnp.bfloat16)
-        xx = jnp.dot(bb_hi, w2_hi_ref[:], preferred_element_type=jnp.float32)
-        if x3:
-            bb_lo = (bb - bb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            xx = xx + jnp.dot(bb_hi, w2_lo_ref[:], preferred_element_type=jnp.float32)
-            xx = xx + jnp.dot(bb_lo, w2_hi_ref[:], preferred_element_type=jnp.float32)
-
-        p = xx[:, :128] * xx[:, :128] + xx[:, 128:] * xx[:, 128:]  # (tile_f, 128)
+    if batch_classes:
+        # All Hermitian classes share W2 and the map already stacks their
+        # blocks row-wise, so both tails collapse into single large dots:
+        # (classes·tile_f, 256)·(256, 256) then (tile_f, classes·128)·map.
+        # Bigger M/K dims keep the MXU busier than classes separate small
+        # dots; the math (incl. the hi/lo splits) is grouping-identical.
+        BB = jnp.concatenate(bbs, axis=0)                   # (classes·tile_f, 256)
+        XX = dot3(BB, w2_hi_ref[:], w2_lo_ref[:])
+        ps = []
+        for c in range(classes):
+            xx = XX[c * tile_f : (c + 1) * tile_f, :]
+            ps.append(xx[:, :128] * xx[:, :128] + xx[:, 128:] * xx[:, 128:])
+        P = jnp.concatenate(ps, axis=1)                     # (tile_f, classes·128)
         if pre_amp == "magnitude":
             # e.g. chroma: the filterbank consumes |X|, not |X|² — the sqrt
             # must precede the matmul (chroma.rs:365-403).
-            p = jnp.sqrt(p)
-        part = dot3(p, map_ref[c * 128 : (c + 1) * 128, :])
-        feat = part if feat is None else feat + part
+            P = jnp.sqrt(P)
+        feat = dot3(P, map_ref[:])
+    else:
+        feat = None
+        for c, bb in enumerate(bbs):
+            xx = dot3(bb, w2_hi_ref[:], w2_lo_ref[:])
+            p = xx[:, :128] * xx[:, :128] + xx[:, 128:] * xx[:, 128:]
+            if pre_amp == "magnitude":
+                p = jnp.sqrt(p)
+            part = dot3(p, map_ref[c * 128 : (c + 1) * 128, :])
+            feat = part if feat is None else feat + part
 
     if amp == "magnitude":
         feat = jnp.sqrt(feat)
@@ -205,6 +222,10 @@ def fused_factored_features(
     tile_frames: int = 0,      # 0 = auto (VMEM-aware)
     interpret: bool = False,
     pre_amp: str = "none",     # "magnitude" applies sqrt BEFORE the filterbank
+    batch_classes=None,        # fuse per-class dots into single large dots;
+                               # None = auto (on for 1-pass bf16 — measured
+                               # +13% serving throughput; off for bf16x3
+                               # where the A/B is a wash, see KERNEL_AB.md)
 ):
     """Build the fused program: (B, n) f32 signal → (B, n_out, n_frames).
 
@@ -259,6 +280,14 @@ def fused_factored_features(
             # tile_frames= still overrides.
             tile_f = min(tile_f, 64)
     x3 = precision == "bf16x3"
+    if batch_classes is None:
+        # Measured on v5e (4-rep interleaved slope A/B, flagship MFCC shape):
+        # 1-pass bf16 wins every rep with the large fused dots (0.205 vs
+        # 0.234 ms/batch, +13%) — the dot dispatch overhead is a bigger
+        # fraction of the 1-pass kernel. In bf16x3 the pooled result is a
+        # wash (within chip-share noise), so keep the per-class grouping.
+        batch_classes = not x3
+    batch_classes = bool(batch_classes)
 
     # ---- host-built constants (all f64 → f32/bf16 at the edge) -------------
     n1 = np.arange(128, dtype=np.float64)
@@ -340,6 +369,7 @@ def fused_factored_features(
         floor_db=float(floor_db),
         x3=x3,
         with_dct=with_dct,
+        batch_classes=bool(batch_classes),
     )
     const_specs = [
         pl.BlockSpec((256, 256), lambda b, i: (0, 0), memory_space=pltpu.VMEM),

@@ -223,3 +223,48 @@ def test_auto_never_selects_pallas_at_highest_precision(monkeypatch):
     plan = sg.MelDbPlan(PARAMS, MEL, DB, dtype="float32",
                         precision=jax.lax.Precision.HIGHEST)
     assert plan.method == "matmul"
+
+
+def test_batch_classes_variants_match():
+    """The single-large-dot (batch_classes) and per-class-dot kernel variants
+    compute the same program (identical math, different dot grouping)."""
+    from spectrograms_tpu.mfcc import _dct_lifter_matrix
+    from spectrograms_tpu.ops.filterbanks import mel_filterbank
+    from spectrograms_tpu.ops.pallas_factored import fused_factored_features
+    from spectrograms_tpu.windows import make_window
+
+    fb = mel_filterbank(SR, 1024, MEL)
+    w = make_window("hann", 1024, np.float64)
+    dct = _dct_lifter_matrix(128, 40, 22)
+    kw = dict(
+        amp="decibels",
+        precision="bf16x3",
+        dct_key=tuple(map(tuple, dct.tolist())),
+        interpret=True,
+    )
+    x = np.stack([sine(440.0), noise()]).astype(np.float32)
+    runs = [
+        fused_factored_features(
+            1024, 256, tuple(w.tolist()), tuple(map(tuple, fb.tolist())),
+            batch_classes=bc, **kw,
+        )
+        for bc in (False, True)
+    ]
+    a, b = (np.asarray(r(x)) for r in runs)
+    assert a.shape == b.shape == (2, 40, x.shape[1] // 256 + 1)
+    np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_pallas_chroma_4096_path_runs():
+    """Exercise the n_fft=4096 fused-chroma config end to end — the shape
+    where the auto tile is clamped to 64 (tile-128's scoped-VMEM stack,
+    ~16.9 MB, exceeds the 16 MB limit when compiled inside a larger
+    program, e.g. suite config 4)."""
+    from spectrograms_tpu.chroma import ChromaPlan
+
+    plan = ChromaPlan(
+        sg.StftParams(4096, 1024), 44100.0, dtype="float32", method="pallas"
+    )
+    x = sine(440.0, duration=0.5, sr=44100.0).astype(np.float32)
+    out = plan.compute(x)
+    assert np.asarray(out.data).shape[0] == 12
