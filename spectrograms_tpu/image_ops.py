@@ -19,6 +19,13 @@ import numpy as np
 
 from .errors import InvalidInputError
 from .fft2d import fft2d, ifft2d, _as_image
+from .ops.spectral2d import (
+    full_mask_from_half,
+    full_spectrum_from_kernel,
+    spectral_conv_matmul,
+    spectral_filter_matmul,
+    use_matmul_path,
+)
 
 __all__ = [
     "convolve_fft",
@@ -53,11 +60,16 @@ def convolve_fft(image, kernel, dtype=None):
         raise InvalidInputError("kernel dimensions must be > 0")
     if ker.shape[0] > img.shape[0] or ker.shape[1] > img.shape[1]:
         raise InvalidInputError("kernel dimensions must not exceed image dimensions")
-    padded = _pad_kernel_for_fft(ker, img.shape).astype(img.dtype)
-    out = jnp.fft.irfft2(
-        jnp.fft.rfft2(img) * jnp.fft.rfft2(jnp.asarray(padded)),
-        s=img.shape,
-    )
+    padded = _pad_kernel_for_fft(ker, img.shape)
+    if use_matmul_path(img.shape, img.dtype):
+        # MXU matmul-DFT path: 2.2× the XLA FFT at 512² on v5e
+        # (ops/spectral2d.py); kernel spectrum folded as a host constant.
+        out = spectral_conv_matmul(img, full_spectrum_from_kernel(padded))
+    else:
+        out = jnp.fft.irfft2(
+            jnp.fft.rfft2(img) * jnp.fft.rfft2(jnp.asarray(padded.astype(img.dtype))),
+            s=img.shape,
+        )
     return out.astype(img.dtype)
 
 
@@ -96,26 +108,35 @@ def _check_fraction(name: str, v: float):
         raise InvalidInputError(f"{name} must be between 0.0 and 1.0")
 
 
+def _mask_filter(img, m_half: np.ndarray):
+    """Apply an rfft2-half-layout real mask, via the faster available path."""
+    if use_matmul_path(img.shape, img.dtype):
+        m_full = full_mask_from_half(m_half, img.shape[1])
+        return spectral_filter_matmul(img, m_full).astype(img.dtype)
+    spec = fft2d(img)
+    return ifft2d(spec * jnp.asarray(m_half.astype(img.dtype)), img.shape[1]).astype(
+        img.dtype
+    )
+
+
+def _half_shape(img):
+    return (img.shape[0], img.shape[1] // 2 + 1)
+
+
 def lowpass_filter(image, cutoff_fraction: float, dtype=None):
     """Keep frequencies inside the circular cutoff (smoothing)."""
     _check_fraction("cutoff_fraction", cutoff_fraction)
     img = _as_image(image, dtype)
-    spec = fft2d(img)
-    mask = jnp.asarray(
-        _lowpass_mask(tuple(spec.shape), float(cutoff_fraction)).astype(img.dtype)
-    )
-    return ifft2d(spec * mask, img.shape[1]).astype(img.dtype)
+    return _mask_filter(img, _lowpass_mask(_half_shape(img), float(cutoff_fraction)))
 
 
 def highpass_filter(image, cutoff_fraction: float, dtype=None):
     """Remove frequencies inside the circular cutoff (edge emphasis)."""
     _check_fraction("cutoff_fraction", cutoff_fraction)
     img = _as_image(image, dtype)
-    spec = fft2d(img)
-    mask = jnp.asarray(
-        (1.0 - _lowpass_mask(tuple(spec.shape), float(cutoff_fraction))).astype(img.dtype)
+    return _mask_filter(
+        img, 1.0 - _lowpass_mask(_half_shape(img), float(cutoff_fraction))
     )
-    return ifft2d(spec * mask, img.shape[1]).astype(img.dtype)
 
 
 def bandpass_filter(image, low_cutoff: float, high_cutoff: float, dtype=None):
@@ -125,15 +146,12 @@ def bandpass_filter(image, low_cutoff: float, high_cutoff: float, dtype=None):
     if low_cutoff >= high_cutoff:
         raise InvalidInputError("high_cutoff must be greater than low_cutoff")
     img = _as_image(image, dtype)
-    spec = fft2d(img)
-    shape = tuple(spec.shape)
-    mask = jnp.asarray(
-        (
-            _lowpass_mask(shape, float(high_cutoff))
-            - _lowpass_mask(shape, float(low_cutoff))
-        ).astype(img.dtype)
+    shape = _half_shape(img)
+    return _mask_filter(
+        img,
+        _lowpass_mask(shape, float(high_cutoff))
+        - _lowpass_mask(shape, float(low_cutoff)),
     )
-    return ifft2d(spec * mask, img.shape[1]).astype(img.dtype)
 
 
 def detect_edges_fft(image, dtype=None):
