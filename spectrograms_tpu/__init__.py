@@ -165,6 +165,15 @@ from . import parallel
 from . import serde
 from . import runtime
 from .cache import fft_plan_cache_info, clear_fft_plan_cache, cache_stats
+from .autotune import (
+    AutotuneResult,
+    autotune,
+    autotune_plan,
+    wisdom,
+    clear_wisdom,
+    save_wisdom,
+    load_wisdom,
+)
 
 __version__ = "0.2.0"
 
@@ -340,6 +349,14 @@ __all__ = [
     "fft_plan_cache_info",
     "clear_fft_plan_cache",
     "cache_stats",
+    # autotune (TPU wisdom)
+    "AutotuneResult",
+    "autotune",
+    "autotune_plan",
+    "wisdom",
+    "clear_wisdom",
+    "save_wisdom",
+    "load_wisdom",
 ] + list(_functions_all)
 
 from .serving import FeaturePipeline, FeatureBatch  # noqa: E402

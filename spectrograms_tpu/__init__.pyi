@@ -2115,6 +2115,15 @@ class MfccSource:
         ...
 
 
+class AutotuneResult:
+    """Outcome of an autotune run."""
+    winner: Any
+    plan: Any
+    timings_ms: Any
+    key: Any
+    from_cache: Any = False
+
+
 class FeaturePipeline:
     """Stream WAV files through a plan at full device throughput.
 
@@ -2543,6 +2552,45 @@ def clear_fft_plan_cache():
 
 def cache_stats():
     """Alias for :func:`fft_plan_cache_info`."""
+    ...
+
+def autotune(candidates, x_sample, *, k1 = 1, k2 = 65, reps = 5):
+    """Measure labelled same-semantics callables on-device; return the winner.
+
+    Each candidate must accept ``x_sample`` and return an array (or an object
+    with ``.data``). Timing uses the slope protocol so dispatch and transfer
+    overheads cancel; candidates are measured back-to-back on the same device
+    so shared-chip drift affects them equally. The k2=65 default keeps the
+    chained signal well above remote-dispatch noise (measured ~30 ms floor on
+    tunnel-attached chips — a k2=17 slope can misrank by 10×); lower it only
+    for slow candidates on a local device.
+    """
+    ...
+
+def autotune_plan(plan, x_sample, *, methods = None, k1 = 1, k2 = 65, reps = 5, use_wisdom = True):
+    """Return the measured-fastest ``method=`` lowering of ``plan``.
+
+    ``x_sample`` should have the serving shape — 1-D signal or (B, n) batch;
+    the winner is shape-specific. Candidates are semantically equivalent
+    within each path's documented accuracy (KERNEL_AB.md). With
+    ``use_wisdom`` a previous decision for the same (config, shape, backend)
+    is reused without measuring.
+    """
+    ...
+
+def wisdom():
+    """Copy of the in-process wisdom cache (key -> winning method)."""
+    ...
+
+def clear_wisdom():
+    ...
+
+def save_wisdom(path):
+    """Persist accumulated wisdom as JSON."""
+    ...
+
+def load_wisdom(path, *, merge = True):
+    """Load wisdom saved by :func:`save_wisdom`; merges by default."""
     ...
 
 def compute_stft(samples, params, dtype = None):

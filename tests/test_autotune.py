@@ -1,0 +1,88 @@
+"""Autotune (TPU wisdom): winner selection, plan rebuilds, wisdom cache."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import spectrograms_tpu as sg
+from conftest import noise
+
+
+@pytest.fixture(autouse=True)
+def _fresh_wisdom():
+    sg.clear_wisdom()
+    yield
+    sg.clear_wisdom()
+
+
+def test_autotune_picks_fast_candidate():
+    def fast(x):
+        return jnp.sum(x * 2.0, keepdims=True)
+
+    def slow(x):
+        y = x
+        for _ in range(200):
+            y = jnp.tanh(y) + x
+        return jnp.sum(y, keepdims=True)
+
+    r = sg.autotune({"fast": fast, "slow": slow}, np.ones(4096, np.float32), k2=9)
+    assert r.winner == "fast"
+    assert set(r.timings_ms) == {"fast", "slow"}
+    assert r.timings_ms["fast"] < r.timings_ms["slow"]
+
+
+def test_autotune_plan_mfcc_and_wisdom_cache():
+    plan = sg.MfccPlan(sg.StftParams(512, 128), 16000.0, dtype="float32")
+    xb = np.stack([noise(), noise()]).astype(np.float32)
+    r = sg.autotune_plan(plan, xb, methods=["fft", "matmul"], k2=5, reps=1)
+    assert r.winner in ("fft", "matmul")
+    assert not r.from_cache and r.timings_ms
+    # the winning plan computes the same features as the original
+    a = np.asarray(r.plan.compute_batch(xb))
+    b = np.asarray(plan.compute_batch(xb))
+    np.testing.assert_allclose(a, b, atol=1e-3)
+    # second call: wisdom hit, no measurement
+    r2 = sg.autotune_plan(plan, xb, methods=["fft", "matmul"], k2=5, reps=1)
+    assert r2.from_cache and r2.winner == r.winner and r2.timings_ms == {}
+    assert sg.wisdom() == {r.key: r.winner}
+
+
+def test_autotune_plan_spectrogram_and_chroma_rebuild():
+    params = sg.SpectrogramParams(sg.StftParams(512, 128), 16000.0)
+    plan = sg.SpectrogramPlan(
+        params, sg.FreqScale.MEL, sg.AmpScale.POWER,
+        scale_params=sg.MelParams(32, 0.0, 8000.0), dtype="float32",
+    )
+    x = noise().astype(np.float32)
+    r = sg.autotune_plan(plan, x, methods=["fft", "matmul"], k2=5, reps=1)
+    assert r.plan.method == r.winner
+
+    from spectrograms_tpu.chroma import ChromaPlan
+
+    cplan = ChromaPlan(sg.StftParams(512, 128), 16000.0, dtype="float32")
+    rc = sg.autotune_plan(cplan, x, methods=["fft", "matmul"], k2=5, reps=1)
+    assert rc.winner in ("fft", "matmul")
+
+
+def test_wisdom_save_load_roundtrip(tmp_path):
+    plan = sg.MfccPlan(sg.StftParams(512, 128), 16000.0, dtype="float32")
+    xb = np.stack([noise()]).astype(np.float32)
+    r = sg.autotune_plan(plan, xb, methods=["fft"], k2=3, reps=1)
+    p = tmp_path / "wisdom.json"
+    sg.save_wisdom(p)
+    sg.clear_wisdom()
+    assert sg.wisdom() == {}
+    loaded = sg.load_wisdom(p)
+    assert loaded == {r.key: "fft"}
+    r2 = sg.autotune_plan(plan, xb, methods=["fft"], k2=3, reps=1)
+    assert r2.from_cache
+
+
+def test_autotune_validation():
+    with pytest.raises(sg.InvalidInputError):
+        sg.autotune({}, np.ones(8, np.float32))
+    plan = sg.MfccPlan(sg.StftParams(512, 128), 16000.0, dtype="float32")
+    with pytest.raises(sg.InvalidInputError):
+        sg.autotune_plan(plan, np.ones((2, 2, 2), np.float32))
+    with pytest.raises(sg.InvalidInputError):
+        sg.autotune_plan(object(), np.ones(8, np.float32))
