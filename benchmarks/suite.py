@@ -1,4 +1,5 @@
-"""Full benchmark suite: the five BASELINE.json configs, slope-timed.
+"""Full benchmark suite: the five BASELINE.json configs + a bf16 serving-mode
+config (6), slope-timed.
 
 Each config prints one JSON line; a summary dict is written to
 ``benchmarks/results.json``. Run on the TPU (default backend) or with

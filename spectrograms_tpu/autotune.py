@@ -59,16 +59,20 @@ def _slope_time(fn: Callable, x, k1: int, k2: int, reps: int) -> float:
     """Per-call device seconds via the slope protocol (bench.py docstring)."""
 
     def chained(k: int):
+        # lax.fori_loop keeps ONE instance of the candidate in the compiled
+        # program — k inlined copies of a Pallas kernel overwhelm the remote
+        # compile helper (see bench.py / benchmarks/suite.py _chain) and
+        # multiply compile time even for plain XLA candidates.
         @jax.jit
         def f(xb):
-            acc = jnp.zeros((), dtype=jnp.float32)
-            out = None
-            for _ in range(k):
+            def body(_, acc):
                 # data dependency through a written sample defeats hoisting
                 out = fn(xb.at[(0,) * xb.ndim].set(acc.astype(xb.dtype) * 1e-30))
                 out = getattr(out, "data", out)
-                acc = acc + jnp.sum(out).astype(jnp.float32)
-            return acc
+                return acc + jnp.sum(out).astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
         return f
 
     f1, f2 = chained(k1), chained(k2)
@@ -155,7 +159,12 @@ def _rebuild_with_method(plan, method: str):
             precision=mp.precision,
         )
     if isinstance(plan, SpectrogramPlan):
-        return type(plan)(
+        # The 15 typed subclasses (plans.MelDbPlan, ...) have narrower
+        # __init__ signatures; rebuild through the base initializer on a
+        # bare instance so the subclass type is preserved for any of them.
+        new = object.__new__(type(plan))
+        SpectrogramPlan.__init__(
+            new,
             plan.params,
             plan.freq_scale,
             plan.amp_scale,
@@ -165,6 +174,7 @@ def _rebuild_with_method(plan, method: str):
             method=method,
             precision=plan.precision,
         )
+        return new
     raise InvalidInputError(
         f"autotune_plan supports SpectrogramPlan/MfccPlan/ChromaPlan, "
         f"got {type(plan).__name__}"
@@ -176,11 +186,11 @@ def _plan_key(plan, batch_shape) -> str:
     from .mfcc import MfccPlan
 
     if isinstance(plan, MfccPlan):
-        mp, kind = plan._mel_plan, "mfcc"
+        mp, kind, feat = plan._mel_plan, "mfcc", str(plan.mfcc_params)
     elif isinstance(plan, ChromaPlan):
-        mp, kind = plan._mag_plan, "chroma"
+        mp, kind, feat = plan._mag_plan, "chroma", str(plan.params)
     else:
-        mp, kind = plan, type(plan).__name__.lower()
+        mp, kind, feat = plan, type(plan).__name__.lower(), ""
     stft = mp.params.stft
     return json.dumps(
         [
@@ -190,6 +200,12 @@ def _plan_key(plan, batch_shape) -> str:
             str(stft.window),
             str(getattr(mp, "freq_scale", "")),
             str(getattr(mp, "amp_scale", "")),
+            # Full scale/log/feature config — plans differing only in e.g.
+            # n_mels must not share a wisdom entry (the winner is
+            # config-specific).
+            str(getattr(mp, "scale_params", None)),
+            str(getattr(mp, "log_params", None)),
+            feat,
             np.dtype(mp._dtype).name,
             str(mp.precision),
             list(batch_shape),
@@ -212,7 +228,8 @@ def _candidate_methods(plan) -> Sequence[str]:
     if np.dtype(mp._dtype) != np.float64 and stft.n_fft <= MATMUL_MAX_N_FFT:
         methods.append("matmul")
     if (
-        np.dtype(mp._dtype) == np.float32
+        jax.default_backend() == "tpu"  # interpret-mode timings are noise
+        and np.dtype(mp._dtype) == np.float32
         and mp.precision != jax.lax.Precision.HIGHEST
         and supports_factored_fusion(stft.n_fft, stft.hop_size, mp._dtype)
     ):

@@ -337,13 +337,15 @@ class SpectrogramPlan:
                     "CQT maximum frequency must be below Nyquist frequency"
                 )
             k_re, k_im, freqs = cqt_kernel_matrices(scale_params, sr, n_fft)
-            self._cqt_re = jnp.asarray(k_re.T.astype(self._dtype))  # (n_fft, n_out)
-            self._cqt_im = jnp.asarray(k_im.T.astype(self._dtype))
             # Fused (n_fft, 2·n_out) kernel: one matmul reads the frame
             # matrix ONCE for both re and im (the frames read dominates HBM
             # traffic at n_fft=4096 — measured 1.5 ms vs the ~1.15 ms
             # bandwidth floor for BASELINE config 4's 64-clip batch).
-            self._cqt_ri = jnp.concatenate([self._cqt_re, self._cqt_im], axis=1)
+            # Concatenated on host so the plan holds ONE device copy.
+            self._cqt_n_out = k_re.shape[0]
+            self._cqt_ri = jnp.asarray(
+                np.concatenate([k_re.T, k_im.T], axis=1).astype(self._dtype)
+            )
         else:  # pragma: no cover
             raise InvalidInputError(f"unknown freq scale {freq_scale}")
 
@@ -447,7 +449,7 @@ class SpectrogramPlan:
             # matmul against the [re | im] concatenated kernel — frames are
             # read from HBM once instead of twice.
             ri = jnp.matmul(frames, self._cqt_ri, precision=self.precision)
-            n_out = self._cqt_re.shape[1]
+            n_out = self._cqt_n_out
             re, im = ri[..., :n_out], ri[..., n_out:]
             mapped = re * re + im * im
         else:

@@ -127,7 +127,7 @@ def plan_cost(plan, n_samples: int, batch: int = 1) -> CostEstimate:
     bytes_hbm += (n_samples + frames_elems) * itemsize
 
     if plan.freq_scale == FreqScale.CQT:
-        k_bins = plan._cqt_re.shape[1]
+        k_bins = plan._cqt_n_out
         flops += 2 * 2 * frames_elems * k_bins            # fused [re|im] matmul
         flops += 3 * n_frames * k_bins                    # |·|²
         bytes_hbm += frames_elems * itemsize              # frames read once
@@ -199,7 +199,7 @@ def task_cost(plan, n_samples: int, batch: int = 1) -> CostEstimate:
     flops = 5.0 * n_frames * n_fft * np.log2(n_fft)       # rFFT task cost
     flops += 3 * n_frames * n_spec_bins                   # |·|²
     if plan.freq_scale == FreqScale.CQT:
-        k_bins = plan._cqt_re.shape[1]
+        k_bins = plan._cqt_n_out
         flops = 2 * 2 * n_frames * n_fft * k_bins         # CQT is a matmul task
     elif plan._mapping_t is not None:
         n_in = plan._mapping_t.shape[0]

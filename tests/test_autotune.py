@@ -78,6 +78,59 @@ def test_wisdom_save_load_roundtrip(tmp_path):
     assert r2.from_cache
 
 
+def test_autotune_plan_typed_subclasses():
+    """Review round 3: the 15 typed plan classes have narrower __init__
+    signatures — _rebuild_with_method must preserve the type anyway."""
+    params = sg.SpectrogramParams(sg.StftParams(512, 128), 16000.0)
+    plan = sg.MelDbPlan(params, sg.MelParams(32, 0.0, 8000.0),
+                        sg.LogParams(-80.0), dtype="float32")
+    x = noise().astype(np.float32)
+    r = sg.autotune_plan(plan, x, methods=["fft", "matmul"], k2=5, reps=1)
+    assert type(r.plan) is sg.MelDbPlan and r.plan.method == r.winner
+    np.testing.assert_allclose(
+        np.asarray(r.plan.compute_raw(x)), np.asarray(plan.compute_raw(x)),
+        atol=1e-3,
+    )
+    # cache-hit rebuild path too
+    r2 = sg.autotune_plan(plan, x, methods=["fft", "matmul"], k2=5, reps=1)
+    assert r2.from_cache and type(r2.plan) is sg.MelDbPlan
+
+    lp = sg.LinearPowerPlan(params, dtype="float32")
+    rl = sg.autotune_plan(lp, x, methods=["fft", "matmul"], k2=5, reps=1)
+    assert type(rl.plan) is sg.LinearPowerPlan
+
+
+def test_wisdom_key_separates_feature_configs():
+    """Review round 3: plans differing only in filterbank/feature params must
+    not share a wisdom entry (the 32-mel winner was silently reused for a
+    128-mel plan)."""
+    from spectrograms_tpu.autotune import _plan_key
+
+    mk = lambda n_mels, n_mfcc=13: sg.MfccPlan(
+        sg.StftParams(512, 128), 16000.0,
+        mel_params=sg.MelParams(n_mels, 0.0, 8000.0),
+        mfcc_params=sg.MfccParams(n_mfcc), dtype="float32",
+    )
+    shape = (2, 16000)
+    assert _plan_key(mk(32), shape) != _plan_key(mk(128), shape)
+    assert _plan_key(mk(64, 13), shape) != _plan_key(mk(64, 20), shape)
+    assert _plan_key(mk(64), shape) == _plan_key(mk(64), shape)
+
+
+def test_candidate_methods_gate_pallas_off_tpu():
+    """Review round 3: on the CPU backend the default candidate list must not
+    include the interpret-mode pallas kernel (meaningless timings, recorded
+    into wisdom)."""
+    import jax
+
+    from spectrograms_tpu.autotune import _candidate_methods
+
+    plan = sg.MfccPlan(sg.StftParams(1024, 256), 16000.0, dtype="float32")
+    assert jax.default_backend() == "cpu"
+    assert "pallas" not in _candidate_methods(plan)
+    assert set(_candidate_methods(plan)) == {"fft", "matmul"}
+
+
 def test_autotune_validation():
     with pytest.raises(sg.InvalidInputError):
         sg.autotune({}, np.ones(8, np.float32))

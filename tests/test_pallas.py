@@ -255,6 +255,40 @@ def test_batch_classes_variants_match():
     np.testing.assert_allclose(a, b, atol=5e-3)
 
 
+def test_batch_classes_bf16_serving_variant_matches():
+    """The DEFAULT serving-mode kernel — 1-pass bf16, where batch_classes
+    auto-enables and the (8,128) dummy w2_lo constant is read — must run and
+    agree with the per-class grouping. This is the production bf16 path
+    (suite config 6); without this test it only ever executed on live TPU."""
+    from spectrograms_tpu.mfcc import _dct_lifter_matrix
+    from spectrograms_tpu.ops.filterbanks import mel_filterbank
+    from spectrograms_tpu.ops.pallas_factored import fused_factored_features
+    from spectrograms_tpu.windows import make_window
+
+    fb = mel_filterbank(SR, 1024, MEL)
+    w = make_window("hann", 1024, np.float64)
+    dct = _dct_lifter_matrix(128, 40, 22)
+    kw = dict(
+        amp="decibels",
+        precision="bf16",
+        dct_key=tuple(map(tuple, dct.tolist())),
+        interpret=True,
+    )
+    x = np.stack([sine(440.0), noise()]).astype(np.float32)
+    auto, off = (
+        np.asarray(
+            fused_factored_features(
+                1024, 256, tuple(w.tolist()), tuple(map(tuple, fb.tolist())),
+                batch_classes=bc, **kw,
+            )(x)
+        )
+        for bc in (None, False)  # None auto-enables batching in 1-pass bf16
+    )
+    assert auto.shape == off.shape == (2, 40, x.shape[1] // 256 + 1)
+    # Same sums, different dot grouping → f32-accumulation order only.
+    np.testing.assert_allclose(auto, off, atol=5e-2)
+
+
 def test_pallas_chroma_4096_path_runs():
     """Exercise the n_fft=4096 fused-chroma config end to end — the shape
     where the auto tile is clamped to 64 (tile-128's scoped-VMEM stack,
