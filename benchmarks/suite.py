@@ -266,19 +266,39 @@ def config6_mfcc_bf16_serving():
     }
 
 
-def main():
+_CONFIGS = {
+    1: "config1_linear_power_f64",
+    2: "config2_mel_db_batch",
+    3: "config3_mfcc_delta",
+    4: "config4_cqt_chroma_mdct",
+    5: "config5_streaming_image",
+    6: "config6_mfcc_bf16_serving",
+}
+
+
+def main(argv=None):
+    """Run all six configs, or a subset: ``suite.py 4 6`` runs configs 4
+    and 6 and merges them into ``results.json`` (a full run over the tunnel
+    is ~12 min of remote compiles; subsets make refreshes cheap)."""
     # x64 is scoped to config 1 (jax.enable_x64 context): the TPU configs
     # must trace in x32 — global x64 mode injects 64-bit types Mosaic cannot
     # compile (the remote compile helper crashes on config 3 otherwise).
-    results = []
-    for fn in (
-        config1_linear_power_f64,
-        config2_mel_db_batch,
-        config3_mfcc_delta,
-        config4_cqt_chroma_mdct,
-        config5_streaming_image,
-        config6_mfcc_bf16_serving,
-    ):
+    argv = sys.argv[1:] if argv is None else argv
+    selected = sorted(int(a) for a in argv) if argv else sorted(_CONFIGS)
+    unknown = [n for n in selected if n not in _CONFIGS]
+    if unknown:
+        raise SystemExit(f"unknown config number(s) {unknown}; choose from 1-6")
+
+    out = Path(__file__).parent / "results.json"
+    merged = {}
+    if out.exists():
+        for r in json.loads(out.read_text()):
+            num = str(r.get("config", ""))[:1]
+            if num.isdigit():
+                merged[int(num)] = r
+
+    for n in selected:
+        fn = globals()[_CONFIGS[n]]
         try:
             r = fn()
         except Exception:
@@ -289,9 +309,8 @@ def main():
             except Exception as e:  # pragma: no cover
                 r = {"config": fn.__name__, "error": str(e)[:500]}
         print(json.dumps(r), flush=True)
-        results.append(r)
-    out = Path(__file__).parent / "results.json"
-    out.write_text(json.dumps(results, indent=2))
+        merged[n] = r
+    out.write_text(json.dumps([merged[k] for k in sorted(merged)], indent=2))
     print(f"# wrote {out}", file=sys.stderr)
 
 

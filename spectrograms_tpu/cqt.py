@@ -67,14 +67,13 @@ class CqtResult:
 
 @partial(jax.jit, static_argnames=("frame_len", "hop", "n_frames", "precision"))
 def _cqt_impl(x, k_ri_t, frame_len, hop, n_frames, precision):
-    n = x.shape[0]
-    # Frames are never partial: frame_len = min(len, 16384) and the frame-count
-    # formula keeps every start + frame_len <= len. The pad is a no-op guard.
-    pad = max(0, (n_frames - 1) * hop + frame_len - n)
-    xp = jnp.pad(x, (0, pad))
-    starts = np.arange(n_frames, dtype=np.int32) * hop
-    idx = jnp.asarray(starts[:, None] + np.arange(frame_len, dtype=np.int32)[None, :])
-    frames = jnp.take(xp, idx, axis=0)
+    # frame_count(centre=False) matches the CQT frame formula (n_frames=1
+    # when len < frame_len, else (len − frame_len)//hop + 1, never partial);
+    # frame_signal's strided-reshape fast path (hop | frame_len — the common
+    # power-of-two case) avoids a take-gather that XLA serializes on TPU.
+    from .ops.framing import frame_signal
+
+    frames = frame_signal(x, frame_len, hop, centre=False)
     # One matmul against the [re | im] concatenated kernels: the frame matrix
     # (the dominant HBM read at CQT kernel lengths) streams from HBM once.
     ri = jnp.matmul(frames, k_ri_t, precision=precision)

@@ -102,10 +102,13 @@ def _mdct_precision(dt):
 
 @partial(jax.jit, static_argnames=("two_n", "hop", "precision"))
 def _mdct_impl(x, fwd_basis, two_n, hop, precision):
-    n_frames = (x.shape[0] - two_n) // hop + 1
-    starts = np.arange(n_frames, dtype=np.int32) * hop
-    idx = jnp.asarray(starts[:, None] + np.arange(two_n, dtype=np.int32)[None, :])
-    frames = jnp.take(x, idx, axis=0)  # (n_frames, 2N)
+    # frame_count(centre=False) == (len − 2N)//hop + 1, the MDCT framing
+    # exactly; frame_signal's strided-reshape fast path (hop | 2N) replaces a
+    # take-gather that XLA lowers to a serial dynamic-slice loop on TPU —
+    # the gather dominated the batch-64 MDCT roundtrip (suite config 4).
+    from .ops.framing import frame_signal
+
+    frames = frame_signal(x, two_n, hop, centre=False)  # (n_frames, 2N)
     return jnp.matmul(frames, fwd_basis, precision=precision).T
 
 
