@@ -68,15 +68,15 @@ class CqtResult:
 @partial(jax.jit, static_argnames=("frame_len", "hop", "n_frames", "precision"))
 def _cqt_impl(x, k_ri_t, frame_len, hop, n_frames, precision):
     # frame_count(centre=False) matches the CQT frame formula (n_frames=1
-    # when len < frame_len, else (len − frame_len)//hop + 1, never partial);
-    # frame_signal's strided-reshape fast path (hop | frame_len — the common
-    # power-of-two case) avoids a take-gather that XLA serializes on TPU.
-    from .ops.framing import frame_signal
+    # when len < frame_len, else (len − frame_len)//hop + 1, never partial).
+    # framed_matmul's hopped-slice decomposition (hop | frame_len — the
+    # common power-of-two case) never materializes the frame matrix, the
+    # dominant HBM traffic at CQT kernel lengths; irregular hops fall back
+    # to one gather + matmul inside it.
+    from .ops.framing import framed_matmul
 
-    frames = frame_signal(x, frame_len, hop, centre=False)
-    # One matmul against the [re | im] concatenated kernels: the frame matrix
-    # (the dominant HBM read at CQT kernel lengths) streams from HBM once.
-    ri = jnp.matmul(frames, k_ri_t, precision=precision)
+    ri = framed_matmul(x, k_ri_t, frame_len, hop, centre=False,
+                       precision=precision)
     n_bins = k_ri_t.shape[1] // 2
     return ri[:, :n_bins].T, ri[:, n_bins:].T
 

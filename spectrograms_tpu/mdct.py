@@ -103,13 +103,14 @@ def _mdct_precision(dt):
 @partial(jax.jit, static_argnames=("two_n", "hop", "precision"))
 def _mdct_impl(x, fwd_basis, two_n, hop, precision):
     # frame_count(centre=False) == (len − 2N)//hop + 1, the MDCT framing
-    # exactly; frame_signal's strided-reshape fast path (hop | 2N) replaces a
-    # take-gather that XLA lowers to a serial dynamic-slice loop on TPU —
-    # the gather dominated the batch-64 MDCT roundtrip (suite config 4).
-    from .ops.framing import frame_signal
+    # exactly. framed_matmul's hopped-slice decomposition (hop | 2N) never
+    # materializes the frame matrix at all — the take-gather it replaced
+    # dominated the batch-64 MDCT roundtrip (suite config 4), and skipping
+    # the frames intermediate halves the remaining HBM traffic.
+    from .ops.framing import framed_matmul
 
-    frames = frame_signal(x, two_n, hop, centre=False)  # (n_frames, 2N)
-    return jnp.matmul(frames, fwd_basis, precision=precision).T
+    return framed_matmul(x, fwd_basis, two_n, hop, centre=False,
+                         precision=precision).T
 
 
 def mdct(samples, params: MdctParams, dtype=None) -> jax.Array:

@@ -87,3 +87,47 @@ def frame_signal(x, n_fft: int, hop_size: int, centre: bool = True):
     starts = np.arange(n_frames, dtype=np.int32) * hop_size
     idx = starts[:, None] + np.arange(n_fft, dtype=np.int32)[None, :]
     return jnp.take(xp, jnp.asarray(idx), axis=-1)
+
+
+def framed_matmul(x, mat, n_fft: int, hop_size: int, centre: bool = True,
+                  precision=None):
+    """``frame_signal(x, …) @ mat`` without materializing the frame matrix.
+
+    When ``hop | n_fft`` the frame matrix is ``k = n_fft//hop`` hop-strided
+    slices of one reshape laid side by side, so
+
+        frames @ M  ==  Σ_j  X_j @ M[j·hop : (j+1)·hop]
+
+    where each ``X_j`` is a zero-copy view of the padded signal. The
+    (…, n_frames, n_fft) frame matrix — ``n_fft/hop ×`` the signal bytes —
+    is never written to or re-read from HBM, which dominates dense
+    frame-consuming matmuls (CQT kernels, MDCT bases) at batch scale.
+    Falls back to ``frame_signal`` + matmul for irregular hops.
+
+    ``mat`` is (n_fft, n_out); returns (…, n_frames, n_out). The k partial
+    products accumulate in the output dtype (summation order differs from
+    the single dot only in rounding).
+    """
+    n = x.shape[-1]
+    left, right, n_frames = pad_amounts(n, n_fft, hop_size, centre)
+    if n_fft % hop_size == 0 and n_fft > hop_size:
+        k = n_fft // hop_size
+        need = (n_frames - 1 + k) * hop_size
+        extra = max(0, need - (n + left + right))
+        pad_widths = [(0, 0)] * (x.ndim - 1) + [(left, right + extra)]
+        xp = jnp.pad(x, pad_widths)
+        cols = xp.shape[-1] // hop_size
+        base = jnp.reshape(
+            xp[..., : cols * hop_size], x.shape[:-1] + (cols, hop_size)
+        )
+        out = None
+        for j in range(k):
+            part = jnp.matmul(
+                base[..., j : j + n_frames, :],
+                mat[j * hop_size : (j + 1) * hop_size, :],
+                precision=precision,
+            )
+            out = part if out is None else out + part
+        return out
+    frames = frame_signal(x, n_fft, hop_size, centre)
+    return jnp.matmul(frames, mat, precision=precision)

@@ -46,7 +46,7 @@ from .windows import make_window
 from .ops import filterbanks as fb
 from .ops.cqt import cqt_kernel_matrices
 from .ops.dft import MATMUL_MAX_N_FFT, rdft_matrices
-from .ops.framing import frame_count, frame_signal, pad_amounts
+from .ops.framing import frame_count, frame_signal, framed_matmul, pad_amounts
 from .ops import stft as stft_ops
 
 __all__ = [
@@ -449,9 +449,7 @@ class SpectrogramPlan:
             # matmul against the [re | im] concatenated kernel — frames are
             # read from HBM once instead of twice.
             ri = jnp.matmul(frames, self._cqt_ri, precision=self.precision)
-            n_out = self._cqt_n_out
-            re, im = ri[..., :n_out], ri[..., n_out:]
-            mapped = re * re + im * im
+            mapped = self._cqt_power(ri)
         else:
             if self.method == "factored":
                 power = self._factored.power(frames)
@@ -468,7 +466,33 @@ class SpectrogramPlan:
                 mapped = jnp.matmul(power, self._mapping_t, precision=self.precision)
         return _apply_amp(mapped, self.amp_scale, self._floor_db, dt)
 
+    def _cqt_power(self, ri):
+        n_out = self._cqt_n_out
+        re, im = ri[..., :n_out], ri[..., n_out:]
+        return re * re + im * im
+
     def _forward_impl(self, x):
+        dt = self._dtype
+        if self.freq_scale == FreqScale.CQT:
+            # Hopped-slice decomposition (ops/framing.framed_matmul): the
+            # (n_frames, n_fft) frame matrix — the dominant HBM traffic of
+            # the dense CQT matmul at batch scale — is never materialized.
+            ri = framed_matmul(x, self._cqt_ri, self._n_fft, self._hop,
+                               self._centre, precision=self.precision)
+            mapped = self._cqt_power(ri)
+            return _apply_amp(mapped, self.amp_scale, self._floor_db, dt).T
+        if self.method == "matmul":
+            # Same decomposition for the windowed-rDFT matmuls (window is
+            # folded into the C/S matrices, so frames stay raw).
+            re = framed_matmul(x, self._dft_c, self._n_fft, self._hop,
+                               self._centre, precision=self.precision)
+            im = framed_matmul(x, self._dft_s, self._n_fft, self._hop,
+                               self._centre, precision=self.precision)
+            power = re * re + im * im
+            if self._mapping_t is not None:
+                power = jnp.matmul(power, self._mapping_t,
+                                   precision=self.precision)
+            return _apply_amp(power, self.amp_scale, self._floor_db, dt).T
         frames = frame_signal(x, self._n_fft, self._hop, self._centre)
         return self._frames_to_bins(frames).T  # (n_out, n_frames)
 

@@ -178,3 +178,31 @@ def test_stft_plan_multichannel_result_properties():
     assert res.n_frames == res.data.shape[-1]
     mono = plan.compute(np.zeros(4000, np.float32))
     assert mono.n_channels == 1 and mono.n_bins == 257
+
+
+@pytest.mark.parametrize("n_fft,hop,centre", [
+    (256, 64, True),    # hop | n_fft fast path
+    (256, 64, False),
+    (256, 100, True),   # irregular hop fallback
+    (128, 128, False),  # hop == n_fft (fallback branch)
+])
+def test_framed_matmul_matches_explicit_frames(n_fft, hop, centre):
+    """framed_matmul == frame_signal @ mat for every framing regime."""
+    import jax.numpy as jnp
+
+    from spectrograms_tpu.ops.framing import frame_signal, framed_matmul
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(1000).astype(np.float64)
+    mat = rng.standard_normal((n_fft, 33)).astype(np.float64)
+    ref = jnp.matmul(frame_signal(jnp.asarray(x), n_fft, hop, centre),
+                     jnp.asarray(mat))
+    out = framed_matmul(jnp.asarray(x), jnp.asarray(mat), n_fft, hop, centre)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+
+    # batched input (vmap-free leading axis)
+    xb = rng.standard_normal((3, 1000)).astype(np.float64)
+    refb = jnp.matmul(frame_signal(jnp.asarray(xb), n_fft, hop, centre),
+                      jnp.asarray(mat))
+    outb = framed_matmul(jnp.asarray(xb), jnp.asarray(mat), n_fft, hop, centre)
+    np.testing.assert_allclose(np.asarray(outb), np.asarray(refb), atol=1e-10)
