@@ -67,6 +67,7 @@ class FeaturePipeline:
         n_threads: int = 4,
         prefetch_batches: int = 4,
         on_rate_mismatch: str = "error",
+        autotune: bool = False,
     ):
         self.plan = plan
         self.on_rate_mismatch = on_rate_mismatch
@@ -80,6 +81,20 @@ class FeaturePipeline:
         if self.target_len <= 0:
             raise InvalidInputError("target_seconds must be positive")
         self.batch_size = int(batch_size)
+
+        # Measured-fastest lowering for THIS serving shape (opt-in: costs
+        # one extra compile per losing candidate at startup; a previous
+        # decision in the wisdom cache — load_wisdom() — skips the
+        # measurement entirely, so restarts are free).
+        self.autotune_result = None
+        if autotune:
+            from .autotune import autotune_plan
+
+            sample = np.zeros(
+                (self.batch_size, self.target_len), dtype=plan._dtype
+            )
+            self.autotune_result = autotune_plan(plan, sample)
+            plan = self.plan = self.autotune_result.plan
         self._n_threads = n_threads
         self._prefetch = prefetch_batches
 

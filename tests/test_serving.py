@@ -94,3 +94,28 @@ def test_throughput_report(clips):
     expected_audio = sum(min(n, SR) for n in lengths) / SR
     assert abs(rep["audio_seconds"] - expected_audio) < 1e-6
     assert rep["audio_s_per_s"] > 0
+
+
+def test_pipeline_autotune_picks_and_serves(clips):
+    paths, _ = clips
+    sg.clear_wisdom()
+    try:
+        base = FeaturePipeline(_plan(), batch_size=4, target_seconds=1.0,
+                               n_threads=1)
+        pipe = FeaturePipeline(_plan(), batch_size=4, target_seconds=1.0,
+                               n_threads=1, autotune=True)
+        r = pipe.autotune_result
+        assert r is not None and r.winner in ("fft", "matmul")
+        assert pipe.plan.method == r.winner
+        # served features match the untuned pipeline
+        a = next(iter(pipe.run(paths)))
+        b = next(iter(base.run(paths)))
+        np.testing.assert_allclose(
+            np.asarray(a.features), np.asarray(b.features), atol=1e-3
+        )
+        # wisdom makes the next pipeline free (no re-measurement)
+        pipe2 = FeaturePipeline(_plan(), batch_size=4, target_seconds=1.0,
+                                autotune=True)
+        assert pipe2.autotune_result.from_cache
+    finally:
+        sg.clear_wisdom()
