@@ -14,6 +14,7 @@ reported as such.
 from __future__ import annotations
 
 import json
+import re
 import sys
 import time
 from pathlib import Path
@@ -293,9 +294,11 @@ def main(argv=None):
     merged = {}
     if out.exists():
         for r in json.loads(out.read_text()):
-            num = str(r.get("config", ""))[:1]
-            if num.isdigit():
-                merged[int(num)] = r
+            # "4: CQT-84 + ..." on success, the function name
+            # ("config4_cqt_chroma_mdct") on an error record — keep both.
+            m = re.search(r"\d+", str(r.get("config", "")))
+            if m:
+                merged[int(m.group())] = r
 
     for n in selected:
         fn = globals()[_CONFIGS[n]]

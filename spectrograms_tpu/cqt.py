@@ -65,8 +65,8 @@ class CqtResult:
         return to_numpy_safe(self.data)
 
 
-@partial(jax.jit, static_argnames=("frame_len", "hop", "n_frames", "precision"))
-def _cqt_impl(x, k_ri_t, frame_len, hop, n_frames, precision):
+@partial(jax.jit, static_argnames=("frame_len", "hop", "precision"))
+def _cqt_impl(x, k_ri_t, frame_len, hop, precision):
     # frame_count(centre=False) matches the CQT frame formula (n_frames=1
     # when len < frame_len, else (len − frame_len)//hop + 1, never partial).
     # framed_matmul's hopped-slice decomposition (hop | frame_len — the
@@ -93,16 +93,12 @@ def cqt(samples, sample_rate: float, params: CqtParams, hop_size: int, dtype=Non
     frame_len = min(x.shape[0], _MAX_KERNEL_FRAME)
     k_re, k_im, freqs = cqt_kernel_matrices(params, sample_rate, frame_len)
 
-    n = x.shape[0]
-    n_frames = 1 if n < frame_len else (n - frame_len) // int(hop_size) + 1
-
     k_ri = np.concatenate([k_re.T, k_im.T], axis=1).astype(dt)
     re, im = _cqt_impl(
         x,
         jnp.asarray(k_ri),
         int(frame_len),
         int(hop_size),
-        int(n_frames),
         (
             jax.lax.Precision.HIGHEST
             if np.dtype(dt) == np.float64

@@ -22,7 +22,13 @@ import numpy as np
 
 from ..errors import InvalidInputError
 
-__all__ = ["frame_count", "pad_amounts", "frame_signal", "frame_start_sample"]
+__all__ = [
+    "frame_count",
+    "pad_amounts",
+    "frame_signal",
+    "framed_matmul",
+    "frame_start_sample",
+]
 
 
 def frame_count(n_samples: int, n_fft: int, hop_size: int, centre: bool) -> int:
@@ -66,22 +72,12 @@ def frame_signal(x, n_fft: int, hop_size: int, centre: bool = True):
     which XLA lowers to a serial dynamic-slice loop. Otherwise falls back to
     one strided gather over the zero-padded signal.
     """
-    n = x.shape[-1]
-    left, right, n_frames = pad_amounts(n, n_fft, hop_size, centre)
     if n_fft % hop_size == 0 and n_fft > hop_size:
-        k = n_fft // hop_size
-        # Pad so that hop-strided columns cover every frame's last slice:
-        # frame i is cols [i, i+k) of the (cols, hop) reshape.
-        need = (n_frames - 1 + k) * hop_size
-        extra = max(0, need - (n + left + right))
-        pad_widths = [(0, 0)] * (x.ndim - 1) + [(left, right + extra)]
-        xp = jnp.pad(x, pad_widths)
-        cols = xp.shape[-1] // hop_size
-        base = jnp.reshape(
-            xp[..., : cols * hop_size], x.shape[:-1] + (cols, hop_size)
-        )
+        base, n_frames, k = _hopped_base(x, n_fft, hop_size, centre)
         parts = [base[..., i : i + n_frames, :] for i in range(k)]
         return jnp.concatenate(parts, axis=-1)
+    n = x.shape[-1]
+    left, right, n_frames = pad_amounts(n, n_fft, hop_size, centre)
     pad_widths = [(0, 0)] * (x.ndim - 1) + [(left, right)]
     xp = jnp.pad(x, pad_widths)
     starts = np.arange(n_frames, dtype=np.int32) * hop_size
@@ -89,12 +85,38 @@ def frame_signal(x, n_fft: int, hop_size: int, centre: bool = True):
     return jnp.take(xp, jnp.asarray(idx), axis=-1)
 
 
+def _hopped_base(x, n_fft: int, hop_size: int, centre: bool):
+    """(base, n_frames, k): the hop-strided reshape whose row windows are the
+    frames. Requires ``hop | n_fft``; frame ``i`` is rows ``[i, i+k)`` of
+    ``base`` flattened. Shared by :func:`frame_signal` and
+    :func:`framed_matmul` so the padding arithmetic lives in one place.
+    """
+    n = x.shape[-1]
+    left, right, n_frames = pad_amounts(n, n_fft, hop_size, centre)
+    k = n_fft // hop_size
+    # Pad so that hop-strided columns cover every frame's last slice:
+    # frame i is cols [i, i+k) of the (cols, hop) reshape.
+    need = (n_frames - 1 + k) * hop_size
+    extra = max(0, need - (n + left + right))
+    pad_widths = [(0, 0)] * (x.ndim - 1) + [(left, right + extra)]
+    xp = jnp.pad(x, pad_widths)
+    cols = xp.shape[-1] // hop_size
+    base = jnp.reshape(xp[..., : cols * hop_size], x.shape[:-1] + (cols, hop_size))
+    return base, n_frames, k
+
+
+# Above this many partial dots the unrolled decomposition bloats the HLO
+# (remote TPU compiles are minutes-per-program) and loses to one gather +
+# one matmul; typical hops give k = 2..8.
+_FRAMED_MATMUL_MAX_K = 8
+
+
 def framed_matmul(x, mat, n_fft: int, hop_size: int, centre: bool = True,
                   precision=None):
     """``frame_signal(x, …) @ mat`` without materializing the frame matrix.
 
-    When ``hop | n_fft`` the frame matrix is ``k = n_fft//hop`` hop-strided
-    slices of one reshape laid side by side, so
+    When ``hop | n_fft`` (and ``k = n_fft//hop`` is small) the frame matrix
+    is ``k`` hop-strided slices of one reshape laid side by side, so
 
         frames @ M  ==  Σ_j  X_j @ M[j·hop : (j+1)·hop]
 
@@ -102,32 +124,30 @@ def framed_matmul(x, mat, n_fft: int, hop_size: int, centre: bool = True,
     (…, n_frames, n_fft) frame matrix — ``n_fft/hop ×`` the signal bytes —
     is never written to or re-read from HBM, which dominates dense
     frame-consuming matmuls (CQT kernels, MDCT bases) at batch scale.
-    Falls back to ``frame_signal`` + matmul for irregular hops.
+    Falls back to ``frame_signal`` + matmul for irregular hops and for
+    ``k > _FRAMED_MATMUL_MAX_K`` (the unroll would bloat the program).
 
-    ``mat`` is (n_fft, n_out); returns (…, n_frames, n_out). The k partial
-    products accumulate in the output dtype (summation order differs from
-    the single dot only in rounding).
+    ``mat`` is (n_fft, n_out); returns (…, n_frames, n_out). Partial
+    products accumulate at ≥f32 (like one MXU dot); only the final result
+    is rounded to the working dtype, so low-precision inputs (bf16) match
+    the single-dot numerics.
     """
-    n = x.shape[-1]
-    left, right, n_frames = pad_amounts(n, n_fft, hop_size, centre)
-    if n_fft % hop_size == 0 and n_fft > hop_size:
-        k = n_fft // hop_size
-        need = (n_frames - 1 + k) * hop_size
-        extra = max(0, need - (n + left + right))
-        pad_widths = [(0, 0)] * (x.ndim - 1) + [(left, right + extra)]
-        xp = jnp.pad(x, pad_widths)
-        cols = xp.shape[-1] // hop_size
-        base = jnp.reshape(
-            xp[..., : cols * hop_size], x.shape[:-1] + (cols, hop_size)
-        )
+    if (
+        n_fft % hop_size == 0
+        and n_fft > hop_size
+        and n_fft // hop_size <= _FRAMED_MATMUL_MAX_K
+    ):
+        base, n_frames, k = _hopped_base(x, n_fft, hop_size, centre)
+        acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
         out = None
         for j in range(k):
             part = jnp.matmul(
                 base[..., j : j + n_frames, :],
                 mat[j * hop_size : (j + 1) * hop_size, :],
                 precision=precision,
+                preferred_element_type=acc_dtype,
             )
             out = part if out is None else out + part
-        return out
+        return out.astype(jnp.promote_types(x.dtype, mat.dtype))
     frames = frame_signal(x, n_fft, hop_size, centre)
     return jnp.matmul(frames, mat, precision=precision)

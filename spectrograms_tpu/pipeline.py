@@ -359,7 +359,9 @@ class SpectrogramPlan:
 
         if self.method in ("matmul", "pallas") and freq_scale != FreqScale.CQT:
             c, s = rdft_matrices(n_fft, window64, self._dtype)
-            self._dft_c, self._dft_s = c, s
+            # One (n_fft, 2·n_bins) [C | S] constant: a single dot reads the
+            # frames once for both re and im (same trick as the CQT kernel).
+            self._dft_cs = jnp.concatenate([c, s], axis=1)
         if self.method == "factored" and freq_scale != FreqScale.CQT:
             from .ops.fft_factored import FactoredRfft
 
@@ -454,8 +456,9 @@ class SpectrogramPlan:
             if self.method == "factored":
                 power = self._factored.power(frames)
             elif self.method in ("matmul", "pallas"):
-                re = jnp.matmul(frames, self._dft_c, precision=self.precision)
-                im = jnp.matmul(frames, self._dft_s, precision=self.precision)
+                ri = jnp.matmul(frames, self._dft_cs, precision=self.precision)
+                nb = self._dft_cs.shape[1] // 2
+                re, im = ri[..., :nb], ri[..., nb:]
                 power = re * re + im * im
             else:
                 spec = jnp.fft.rfft(frames * self._window[None, :], axis=-1)
@@ -482,12 +485,13 @@ class SpectrogramPlan:
             mapped = self._cqt_power(ri)
             return _apply_amp(mapped, self.amp_scale, self._floor_db, dt).T
         if self.method == "matmul":
-            # Same decomposition for the windowed-rDFT matmuls (window is
-            # folded into the C/S matrices, so frames stay raw).
-            re = framed_matmul(x, self._dft_c, self._n_fft, self._hop,
+            # Same decomposition for the windowed rDFT (window is folded into
+            # the [C | S] matrix, so frames stay raw): one pass over the
+            # signal produces re and im together.
+            ri = framed_matmul(x, self._dft_cs, self._n_fft, self._hop,
                                self._centre, precision=self.precision)
-            im = framed_matmul(x, self._dft_s, self._n_fft, self._hop,
-                               self._centre, precision=self.precision)
+            nb = self._dft_cs.shape[1] // 2
+            re, im = ri[..., :nb], ri[..., nb:]
             power = re * re + im * im
             if self._mapping_t is not None:
                 power = jnp.matmul(power, self._mapping_t,

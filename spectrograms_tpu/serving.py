@@ -85,14 +85,18 @@ class FeaturePipeline:
         # Measured-fastest lowering for THIS serving shape (opt-in: costs
         # one extra compile per losing candidate at startup; a previous
         # decision in the wisdom cache — load_wisdom() — skips the
-        # measurement entirely, so restarts are free).
+        # measurement entirely, so restarts are free). With a mesh the
+        # candidates are measured at the per-device shard size: the sharded
+        # program is the same per-device computation with zero collectives,
+        # and the full unsharded batch might not even fit one chip.
         self.autotune_result = None
         if autotune:
             from .autotune import autotune_plan
 
-            sample = np.zeros(
-                (self.batch_size, self.target_len), dtype=plan._dtype
-            )
+            tune_batch = self.batch_size
+            if mesh is not None:
+                tune_batch = max(1, self.batch_size // mesh.shape[data_axis])
+            sample = np.zeros((tune_batch, self.target_len), dtype=plan._dtype)
             self.autotune_result = autotune_plan(plan, sample)
             plan = self.plan = self.autotune_result.plan
         self._n_threads = n_threads

@@ -119,3 +119,24 @@ def test_pipeline_autotune_picks_and_serves(clips):
         assert pipe2.autotune_result.from_cache
     finally:
         sg.clear_wisdom()
+
+
+def test_pipeline_autotune_with_mesh_measures_shard_size(clips):
+    """Review round 4: with a mesh, candidates are measured at the per-device
+    shard batch (the full batch may not fit one chip; per-device work is the
+    real program)."""
+    from jax.sharding import Mesh
+
+    paths, _ = clips
+    sg.clear_wisdom()
+    try:
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+        pipe = FeaturePipeline(_plan(), batch_size=8, target_seconds=1.0,
+                               mesh=mesh, n_threads=1, autotune=True)
+        r = pipe.autotune_result
+        assert r is not None and not r.from_cache
+        assert '[2, 16000]' in r.key  # 8 clips / 4 devices
+        batch = next(iter(pipe.run(paths)))
+        assert batch.features.shape[0] == 8
+    finally:
+        sg.clear_wisdom()

@@ -206,3 +206,40 @@ def test_framed_matmul_matches_explicit_frames(n_fft, hop, centre):
                       jnp.asarray(mat))
     outb = framed_matmul(jnp.asarray(xb), jnp.asarray(mat), n_fft, hop, centre)
     np.testing.assert_allclose(np.asarray(outb), np.asarray(refb), atol=1e-10)
+
+
+def test_framed_matmul_bf16_matches_single_dot():
+    """Review round 4: partial sums must accumulate at f32 like one MXU dot —
+    bf16 inputs previously rounded every partial to bf16."""
+    import jax.numpy as jnp
+
+    from spectrograms_tpu.ops.framing import frame_signal, framed_matmul
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal(4096), dtype=jnp.bfloat16)
+    mat = jnp.asarray(rng.standard_normal((1024, 64)), dtype=jnp.bfloat16)
+    ref = jnp.matmul(frame_signal(x, 1024, 256, True), mat,
+                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    out = framed_matmul(x, mat, 1024, 256, True)
+    assert out.dtype == jnp.bfloat16
+    a, b = np.asarray(out, np.float32), np.asarray(ref, np.float32)
+    # identical partial-product precision; only association differs
+    np.testing.assert_allclose(a, b, rtol=0.02, atol=0.02)
+
+
+def test_framed_matmul_large_k_falls_back():
+    """k = n_fft/hop above the unroll cap must still be exact (fallback)."""
+    import jax.numpy as jnp
+
+    from spectrograms_tpu.ops.framing import (
+        _FRAMED_MATMUL_MAX_K, frame_signal, framed_matmul,
+    )
+
+    n_fft, hop = 2048, 64            # k = 32 > cap
+    assert n_fft // hop > _FRAMED_MATMUL_MAX_K
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal(8000))
+    mat = jnp.asarray(rng.standard_normal((n_fft, 17)))
+    ref = jnp.matmul(frame_signal(x, n_fft, hop, False), mat)
+    out = framed_matmul(x, mat, n_fft, hop, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
