@@ -209,8 +209,18 @@ SG_API int sg_wav_read(const char* path, float** out, int64_t* n_frames,
   }
   const uint8_t* p = raw.data();
   const uint64_t n = frames * info.channels;
-  for (uint64_t i = 0; i < n; ++i, p += bytes_per) {
-    buf[i] = decode_sample(p, info.format, info.bits);
+  if (info.format == 1 && info.bits == 16) {
+    // PCM16 is the overwhelmingly common case: a branch-free scale loop the
+    // compiler vectorizes (the generic per-sample switch below does not).
+    const int16_t* s16 = reinterpret_cast<const int16_t*>(p);
+    constexpr float kInv = 1.0f / 32768.0f;
+    for (uint64_t i = 0; i < n; ++i) buf[i] = s16[i] * kInv;
+  } else if (info.format == 3 && info.bits == 32) {
+    memcpy(buf, p, n * sizeof(float));
+  } else {
+    for (uint64_t i = 0; i < n; ++i, p += bytes_per) {
+      buf[i] = decode_sample(p, info.format, info.bits);
+    }
   }
   *out = buf;
   *n_frames = static_cast<int64_t>(frames);
@@ -411,40 +421,41 @@ SG_API int32_t sg_framer_flush(void* h, float* out) {
 //
 // Worker threads decode WAV files and assemble fixed-shape padded batches
 // (batch, target_len) float32 + per-item lengths — exactly the bucket-and-pad
-// shape a jit program wants. Double-ended: workers block when the prefetch
-// queue is full; the consumer blocks when it is empty.
+// shape a jit program wants.
+//
+// Assignment is deterministic: file i lands in batch i/B, row i%B, so batch
+// order is reproducible run to run. Batches live in a ring of `prefetch`
+// slots; workers write *disjoint rows* of a slot with no lock held (only
+// slot bookkeeping takes the mutex), so assembly parallelizes and the lock
+// never covers a row-sized memcpy. A failed file leaves a zeroed row
+// (length 0, path_idx -1) and the first error is reported after the last
+// good batch, preserving the previous contract.
 
 namespace {
 
-struct Batch {
-  std::vector<float> data;      // batch * target_len
-  std::vector<int64_t> lengths;  // batch
-  std::vector<int32_t> srs;      // batch (decoded sample rate, 0 for padding)
-  std::vector<int64_t> path_idx; // batch (source path index, -1 for padding)
-  int64_t n_items;
-};
-
-struct StagedItem {
-  std::vector<float> samples;
-  int64_t len;
-  int32_t sample_rate;
-  int64_t path_index;
+struct LoaderSlot {
+  std::vector<float> data;       // batch * target_len (row tails zeroed by writers)
+  std::vector<int64_t> lengths;  // batch (0 marks a padding/failed row)
+  std::vector<int32_t> srs;      // batch (0 for padding rows)
+  std::vector<int64_t> path_idx; // batch (-1 for padding rows)
+  int64_t batch_id = -1;
+  int64_t remaining = 0;         // files not yet written into this slot
+  int64_t n_items = 0;           // successfully decoded rows
+  bool ready = false;
 };
 
 struct Loader {
   std::vector<std::string> paths;
   int64_t batch;
   int64_t target_len;
+  int64_t n_batches;
   size_t prefetch;
   std::atomic<size_t> next_path{0};
 
   std::mutex mu;
   std::condition_variable cv_put, cv_get;
-  std::deque<Batch> queue;
-  // Items decoded but not yet grouped into a batch (per-worker staging would
-  // reorder; a shared staging area under the lock keeps batches dense).
-  std::vector<StagedItem> staging;
-  int64_t files_done = 0;
+  std::vector<LoaderSlot> ring;  // prefetch slots, slot b%prefetch holds batch b
+  int64_t next_consume = 0;      // batch id the consumer needs next
   bool closed = false;
   std::vector<std::thread> workers;
   std::string error;
@@ -460,34 +471,27 @@ struct Loader {
   }
 };
 
-void flush_staging_locked(Loader* L) {
-  while (static_cast<int64_t>(L->staging.size()) >= L->batch ||
-         (L->files_done >= static_cast<int64_t>(L->paths.size()) &&
-          !L->staging.empty())) {
-    const int64_t n =
-        std::min<int64_t>(L->batch, static_cast<int64_t>(L->staging.size()));
-    Batch b;
-    b.n_items = n;
-    b.data.assign(static_cast<size_t>(L->batch * L->target_len), 0.0f);
-    b.lengths.assign(static_cast<size_t>(L->batch), 0);
-    b.srs.assign(static_cast<size_t>(L->batch), 0);
-    b.path_idx.assign(static_cast<size_t>(L->batch), -1);
-    for (int64_t i = 0; i < n; ++i) {
-      auto& item = L->staging[static_cast<size_t>(i)];
-      const int64_t len = std::min<int64_t>(item.len, L->target_len);
-      memcpy(b.data.data() + i * L->target_len, item.samples.data(),
-             static_cast<size_t>(len) * sizeof(float));
-      b.lengths[static_cast<size_t>(i)] = len;
-      b.srs[static_cast<size_t>(i)] = item.sample_rate;
-      b.path_idx[static_cast<size_t>(i)] = item.path_index;
-    }
-    L->staging.erase(L->staging.begin(), L->staging.begin() + n);
-    L->queue.push_back(std::move(b));
-    L->cv_get.notify_one();
-    if (static_cast<int64_t>(L->staging.size()) < L->batch &&
-        L->files_done < static_cast<int64_t>(L->paths.size())) {
-      break;
-    }
+// Initializes ring slot for batch `bi` (caller holds the mutex). Row data is
+// NOT zeroed here — every assigned row is fully written (content + zero tail)
+// by its worker; only rows past the end of the path list (final partial
+// batch) are zeroed, once, by whoever initializes the slot.
+void init_slot_locked(Loader* L, LoaderSlot& s, int64_t bi) {
+  s.batch_id = bi;
+  s.ready = false;
+  s.n_items = 0;
+  const int64_t first = bi * L->batch;
+  const int64_t items =
+      std::min<int64_t>(L->batch, static_cast<int64_t>(L->paths.size()) - first);
+  s.remaining = items;
+  if (s.data.empty()) {
+    s.data.resize(static_cast<size_t>(L->batch * L->target_len));
+  }
+  s.lengths.assign(static_cast<size_t>(L->batch), 0);
+  s.srs.assign(static_cast<size_t>(L->batch), 0);
+  s.path_idx.assign(static_cast<size_t>(L->batch), -1);
+  if (items < L->batch) {
+    memset(s.data.data() + items * L->target_len, 0,
+           static_cast<size_t>((L->batch - items) * L->target_len) * sizeof(float));
   }
 }
 
@@ -495,47 +499,80 @@ void loader_worker(Loader* L) try {
   for (;;) {
     const size_t idx = L->next_path.fetch_add(1);
     if (idx >= L->paths.size()) break;
+    const int64_t bi = static_cast<int64_t>(idx) / L->batch;
+    const int64_t row = static_cast<int64_t>(idx) % L->batch;
+
+    // Decode with no lock held.
     float* data = nullptr;
     int64_t frames = 0;
     int32_t channels = 0, sr = 0;
-    std::vector<float> mono;
+    std::vector<float> downmix;
+    const float* src = nullptr;
     int rc = sg_wav_read(L->paths[idx].c_str(), &data, &frames, &channels, &sr);
     if (rc == 0) {
-      mono.resize(static_cast<size_t>(frames));
       if (channels == 1) {
-        memcpy(mono.data(), data, static_cast<size_t>(frames) * sizeof(float));
+        src = data;  // use the decode buffer directly — no extra copy
       } else {
+        downmix.resize(static_cast<size_t>(frames));
         for (int64_t i = 0; i < frames; ++i) {
           float acc = 0.0f;
           for (int32_t c = 0; c < channels; ++c) acc += data[i * channels + c];
-          mono[static_cast<size_t>(i)] = acc / static_cast<float>(channels);
+          downmix[static_cast<size_t>(i)] = acc / static_cast<float>(channels);
         }
+        src = downmix.data();
       }
-      sg_free(data);
     }
 
-    std::unique_lock<std::mutex> lk(L->mu);
-    if (rc != 0 && L->error.empty()) L->error = "failed to read " + L->paths[idx];
-    L->cv_put.wait(lk, [L] {
-      return L->closed || L->queue.size() < L->prefetch;
-    });
-    if (L->closed) break;
-    if (rc == 0) {
-      L->staging.push_back(
-          StagedItem{std::move(mono), frames, sr, static_cast<int64_t>(idx)});
+    LoaderSlot* slot = nullptr;
+    {
+      std::unique_lock<std::mutex> lk(L->mu);
+      L->cv_put.wait(lk, [L, bi] {
+        return L->closed ||
+               bi < L->next_consume + static_cast<int64_t>(L->prefetch);
+      });
+      if (L->closed) {
+        if (data != nullptr) sg_free(data);
+        break;
+      }
+      LoaderSlot& s = L->ring[static_cast<size_t>(bi % static_cast<int64_t>(L->prefetch))];
+      if (s.batch_id != bi) init_slot_locked(L, s, bi);
+      slot = &s;
+      if (rc != 0 && L->error.empty()) {
+        L->error = "failed to read " + L->paths[idx];
+      }
     }
-    L->files_done++;
-    flush_staging_locked(L);
+
+    // Write this file's row without the lock: rows are disjoint and the slot
+    // cannot be recycled until `ready` (set only after every row is done).
+    float* dst = slot->data.data() + row * L->target_len;
+    const int64_t len =
+        rc == 0 ? std::min<int64_t>(frames, L->target_len) : 0;
+    if (len > 0) memcpy(dst, src, static_cast<size_t>(len) * sizeof(float));
+    memset(dst + len, 0,
+           static_cast<size_t>(L->target_len - len) * sizeof(float));
+    if (data != nullptr) sg_free(data);
+
+    {
+      std::lock_guard<std::mutex> lk(L->mu);
+      slot->lengths[static_cast<size_t>(row)] = len;
+      slot->srs[static_cast<size_t>(row)] = rc == 0 ? sr : 0;
+      slot->path_idx[static_cast<size_t>(row)] =
+          rc == 0 ? static_cast<int64_t>(idx) : -1;
+      if (rc == 0) slot->n_items++;
+      if (--slot->remaining == 0) {
+        slot->ready = true;
+        L->cv_get.notify_all();
+      }
+    }
   }
-  std::lock_guard<std::mutex> lk(L->mu);
-  L->cv_get.notify_all();
 } catch (const std::exception& e) {
   // A worker must never let an exception escape into thread teardown; record
-  // it and mark this worker's remaining files as done so consumers unblock.
+  // it and wake everyone so consumers unblock (their predicates re-check).
   std::lock_guard<std::mutex> lk(L->mu);
   if (L->error.empty()) L->error = std::string("loader worker failed: ") + e.what();
-  L->files_done = static_cast<int64_t>(L->paths.size());
+  L->closed = true;
   L->cv_get.notify_all();
+  L->cv_put.notify_all();
 }
 
 }  // namespace
@@ -553,7 +590,9 @@ SG_API void* sg_loader_new(const char** paths, int64_t n_paths, int64_t batch,
   for (int64_t i = 0; i < n_paths; ++i) L->paths.emplace_back(paths[i]);
   L->batch = batch;
   L->target_len = target_len;
+  L->n_batches = (n_paths + batch - 1) / batch;
   L->prefetch = static_cast<size_t>(prefetch_batches > 0 ? prefetch_batches : 4);
+  L->ring.resize(L->prefetch);
   const int32_t nt = n_threads > 0 ? n_threads : 4;
   for (int32_t i = 0; i < nt; ++i) L->workers.emplace_back(loader_worker, L);
   return L;
@@ -575,31 +614,47 @@ SG_API int64_t sg_loader_next(void* h, float* out_data, int64_t* out_lengths,
                               int32_t* out_srs, int64_t* out_path_idx) try {
   Loader* L = static_cast<Loader*>(h);
   std::unique_lock<std::mutex> lk(L->mu);
-  L->cv_get.wait(lk, [L] {
-    return !L->queue.empty() || L->closed ||
-           (L->files_done >= static_cast<int64_t>(L->paths.size()) &&
-            L->staging.empty());
-  });
-  if (L->queue.empty()) {
-    if (!L->error.empty()) {
-      set_error(L->error);
+  for (;;) {
+    if (L->next_consume >= L->n_batches) {
+      if (!L->error.empty()) {
+        set_error(L->error);
+        return -1;
+      }
+      return 0;
+    }
+    const int64_t want = L->next_consume;
+    LoaderSlot& s =
+        L->ring[static_cast<size_t>(want % static_cast<int64_t>(L->prefetch))];
+    L->cv_get.wait(lk, [L, &s, want] {
+      return L->closed || (s.batch_id == want && s.ready);
+    });
+    if (L->closed && !(s.batch_id == want && s.ready)) {
+      set_error(L->error.empty() ? "loader closed" : L->error);
       return -1;
     }
-    return 0;
+    if (s.n_items == 0) {  // every file in this batch failed — skip it
+      L->next_consume++;
+      L->cv_put.notify_all();
+      continue;
+    }
+    // Copy out without the lock: workers will not recycle this slot until
+    // next_consume advances past it, which happens below under the lock.
+    const int64_t n = s.n_items;
+    lk.unlock();
+    memcpy(out_data, s.data.data(), s.data.size() * sizeof(float));
+    memcpy(out_lengths, s.lengths.data(), s.lengths.size() * sizeof(int64_t));
+    if (out_srs != nullptr) {
+      memcpy(out_srs, s.srs.data(), s.srs.size() * sizeof(int32_t));
+    }
+    if (out_path_idx != nullptr) {
+      memcpy(out_path_idx, s.path_idx.data(),
+             s.path_idx.size() * sizeof(int64_t));
+    }
+    lk.lock();
+    L->next_consume++;
+    L->cv_put.notify_all();
+    return n;
   }
-  Batch b = std::move(L->queue.front());
-  L->queue.pop_front();
-  L->cv_put.notify_all();
-  lk.unlock();
-  memcpy(out_data, b.data.data(), b.data.size() * sizeof(float));
-  memcpy(out_lengths, b.lengths.data(), b.lengths.size() * sizeof(int64_t));
-  if (out_srs != nullptr) {
-    memcpy(out_srs, b.srs.data(), b.srs.size() * sizeof(int32_t));
-  }
-  if (out_path_idx != nullptr) {
-    memcpy(out_path_idx, b.path_idx.data(), b.path_idx.size() * sizeof(int64_t));
-  }
-  return b.n_items;
 } catch (const std::exception& e) {
   set_error(std::string("loader next failed: ") + e.what());
   return -1;

@@ -339,3 +339,27 @@ def test_resample_custom_params_skip_native_path():
     # A narrower, leakier filter gives measurably different output; if the
     # native path had ignored the params these would be bit-identical.
     assert float(np.abs(default - custom).max()) > 1e-6
+
+
+def test_loader_order_is_deterministic(tmp_path):
+    """File i lands in batch i//B, row i%B — reproducible across runs and
+    thread counts (the rewritten native loader assigns slots by file index
+    instead of racing workers into a shared staging area)."""
+    lengths = [500, 600, 700, 800, 900, 1000, 1100]
+    paths = _write_clips(tmp_path, lengths)
+
+    def collect(n_threads):
+        loader = AudioBatchLoader(paths, batch_size=3, target_len=1200,
+                                  n_threads=n_threads)
+        rows = []
+        for data, lens in loader:
+            for r, n in zip(data, lens):
+                rows.append((int(n), float(r[0])))
+        return rows
+
+    a = collect(1)
+    b = collect(4)
+    assert a == b
+    # row values identify the source file: clip i is constant (i+1)/10
+    got = [round(v * 10) - 1 for n, v in a if n > 0]
+    assert got == list(range(len(lengths)))
