@@ -212,9 +212,14 @@ SG_API int sg_wav_read(const char* path, float** out, int64_t* n_frames,
   if (info.format == 1 && info.bits == 16) {
     // PCM16 is the overwhelmingly common case: a branch-free scale loop the
     // compiler vectorizes (the generic per-sample switch below does not).
-    const int16_t* s16 = reinterpret_cast<const int16_t*>(p);
+    // The 2-byte memcpy keeps the byte-buffer access well-defined (no
+    // int16_t aliasing of char storage) and compiles to a plain load.
     constexpr float kInv = 1.0f / 32768.0f;
-    for (uint64_t i = 0; i < n; ++i) buf[i] = s16[i] * kInv;
+    for (uint64_t i = 0; i < n; ++i) {
+      int16_t v;
+      memcpy(&v, p + 2 * i, 2);
+      buf[i] = v * kInv;
+    }
   } else if (info.format == 3 && info.bits == 32) {
     memcpy(buf, p, n * sizeof(float));
   } else {
@@ -442,6 +447,7 @@ struct LoaderSlot {
   int64_t remaining = 0;         // files not yet written into this slot
   int64_t n_items = 0;           // successfully decoded rows
   bool ready = false;
+  bool busy = false;             // a consumer is copying this slot out
 };
 
 struct Loader {
@@ -520,6 +526,10 @@ void loader_worker(Loader* L) try {
           downmix[static_cast<size_t>(i)] = acc / static_cast<float>(channels);
         }
         src = downmix.data();
+        // Release the interleaved buffer before any backpressure wait — a
+        // blocked worker should pin frames floats, not frames*(channels+1).
+        sg_free(data);
+        data = nullptr;
       }
     }
 
@@ -527,8 +537,13 @@ void loader_worker(Loader* L) try {
     {
       std::unique_lock<std::mutex> lk(L->mu);
       L->cv_put.wait(lk, [L, bi] {
+        // Admission needs the window AND the target ring slot free of any
+        // consumer still copying its previous occupant out.
         return L->closed ||
-               bi < L->next_consume + static_cast<int64_t>(L->prefetch);
+               (bi < L->next_consume + static_cast<int64_t>(L->prefetch) &&
+                !L->ring[static_cast<size_t>(
+                             bi % static_cast<int64_t>(L->prefetch))]
+                     .busy);
       });
       if (L->closed) {
         if (data != nullptr) sg_free(data);
@@ -584,8 +599,9 @@ SG_API void* sg_loader_new(const char** paths, int64_t n_paths, int64_t batch,
     set_error("n_paths, batch and target_len must be positive");
     return nullptr;
   }
+  Loader* L = nullptr;
   try {
-  Loader* L = new Loader();
+  L = new Loader();
   L->paths.reserve(static_cast<size_t>(n_paths));
   for (int64_t i = 0; i < n_paths; ++i) L->paths.emplace_back(paths[i]);
   L->batch = batch;
@@ -598,6 +614,9 @@ SG_API void* sg_loader_new(const char** paths, int64_t n_paths, int64_t batch,
   return L;
   } catch (const std::exception& e) {
     set_error(std::string("loader allocation failed: ") + e.what());
+    // ~Loader signals closed and joins any workers already started — a
+    // half-constructed loader must not leak threads running against it.
+    delete L;
     return nullptr;
   }
 }
@@ -626,8 +645,13 @@ SG_API int64_t sg_loader_next(void* h, float* out_data, int64_t* out_lengths,
     LoaderSlot& s =
         L->ring[static_cast<size_t>(want % static_cast<int64_t>(L->prefetch))];
     L->cv_get.wait(lk, [L, &s, want] {
-      return L->closed || (s.batch_id == want && s.ready);
+      // next_consume != want: a concurrent consumer claimed this batch while
+      // we slept — the slot may already be recycled for a later batch, so
+      // stop waiting on it and re-evaluate from the top.
+      return L->closed || L->next_consume != want ||
+             (s.batch_id == want && s.ready);
     });
+    if (L->next_consume != want) continue;
     if (L->closed && !(s.batch_id == want && s.ready)) {
       set_error(L->error.empty() ? "loader closed" : L->error);
       return -1;
@@ -635,11 +659,16 @@ SG_API int64_t sg_loader_next(void* h, float* out_data, int64_t* out_lengths,
     if (s.n_items == 0) {  // every file in this batch failed — skip it
       L->next_consume++;
       L->cv_put.notify_all();
+      L->cv_get.notify_all();  // wake consumers parked on the stale want
       continue;
     }
-    // Copy out without the lock: workers will not recycle this slot until
-    // next_consume advances past it, which happens below under the lock.
+    // Claim the batch under the lock (next_consume advances now, so a
+    // concurrent consumer gets the NEXT batch, never this one twice), mark
+    // the slot busy so workers cannot recycle it, then copy out unlocked.
     const int64_t n = s.n_items;
+    s.busy = true;
+    L->next_consume++;
+    L->cv_get.notify_all();  // wake consumers parked on the stale want
     lk.unlock();
     memcpy(out_data, s.data.data(), s.data.size() * sizeof(float));
     memcpy(out_lengths, s.lengths.data(), s.lengths.size() * sizeof(int64_t));
@@ -651,7 +680,7 @@ SG_API int64_t sg_loader_next(void* h, float* out_data, int64_t* out_lengths,
              s.path_idx.size() * sizeof(int64_t));
     }
     lk.lock();
-    L->next_consume++;
+    s.busy = false;
     L->cv_put.notify_all();
     return n;
   }

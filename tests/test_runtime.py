@@ -363,3 +363,51 @@ def test_loader_order_is_deterministic(tmp_path):
     # row values identify the source file: clip i is constant (i+1)/10
     got = [round(v * 10) - 1 for n, v in a if n > 0]
     assert got == list(range(len(lengths)))
+
+
+def test_loader_concurrent_consumers_each_batch_once(tmp_path):
+    """Review round 5: two threads pulling from one native loader handle must
+    each receive distinct batches (the batch is claimed under the lock before
+    the copy-out)."""
+    import ctypes
+    import threading
+
+    from spectrograms_tpu.runtime.native import load_library
+
+    lengths = [100 + i for i in range(24)]
+    paths = [str(p) for p in _write_clips(tmp_path, lengths)]
+    lib = load_library()
+    for _ in range(3):  # the claim/recycle race is timing-dependent
+        _consume_concurrently(lib, paths)
+
+
+def _consume_concurrently(lib, paths):
+    import ctypes
+    import threading
+
+    c_paths = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    h = lib.sg_loader_new(c_paths, len(paths), 2, 256, 2, 2)
+    assert h
+    got, lock = [], threading.Lock()
+
+    def consume():
+        data = np.empty((2, 256), dtype=np.float32)
+        lens = np.empty((2,), dtype=np.int64)
+        pidx = np.empty((2,), dtype=np.int64)
+        while True:
+            n = lib.sg_loader_next(
+                h, data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                None, pidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            if n <= 0:
+                return
+            with lock:
+                got.extend(int(i) for i in pidx if i >= 0)
+
+    threads = [threading.Thread(target=consume) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    lib.sg_loader_free(h)
+    assert sorted(got) == list(range(len(paths)))  # every file exactly once
