@@ -155,3 +155,26 @@ def test_cqt_truncation_warns():
             ok,
             dtype="float32",
         )
+
+
+def test_gammatone_parallel_matches_scan():
+    """The associative-scan lowering computes the same cascade (f64 exact;
+    kept for large-carry regimes even though auto stays on scan — measured
+    A/B in docs/KERNEL_AB.md)."""
+    import jax
+
+    import spectrograms_tpu as sg
+    from spectrograms_tpu.erb import gammatone_iir_spectrogram
+
+    x = (0.3 * np.random.default_rng(0).standard_normal(8000)).astype(np.float64)
+    p = sg.ErbParams(16, 80.0, 3500.0)
+    with jax.enable_x64(True):
+        a, cfs = gammatone_iir_spectrogram(x, 8000.0, 512, 256, p,
+                                           dtype="float64", method="scan")
+        b, _ = gammatone_iir_spectrogram(x, 8000.0, 512, 256, p,
+                                         dtype="float64", method="parallel")
+    a, b = np.asarray(a), np.asarray(b)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-12)
+    with pytest.raises(sg.InvalidInputError):
+        gammatone_iir_spectrogram(x, 8000.0, 512, 256, p, method="bogus")
