@@ -175,7 +175,7 @@ from .autotune import (
     load_wisdom,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.2.1"
 
 __all__ = [
     # errors

@@ -141,13 +141,19 @@ def make_iir_bank(center_freqs, sample_rate: float):
     return _iir_bank_cached(key, float(sample_rate))
 
 
-@partial(jax.jit, static_argnames=("frame_size", "hop_size", "n_frames"))
-def _gammatone_impl(x, window, a, b, frame_size, hop_size, n_frames):
-    # frames (n_frames, frame_size), windowed, f64 math like the reference
+def _gammatone_frames_t(x, window, frame_size, hop_size, n_frames):
+    """(frame_size, n_frames) windowed frame matrix, time-major — shared by
+    the scan and parallel lowerings so their framing cannot diverge.
+    Called inside the jitted impls, so it needs no jit of its own."""
     starts = np.arange(n_frames, dtype=np.int32) * hop_size
     idx = jnp.asarray(starts[:, None] + np.arange(frame_size, dtype=np.int32)[None, :])
-    frames = jnp.take(x, idx, axis=0) * window[None, :]
-    xs = frames.T  # (frame_size, n_frames) — scan over time
+    return (jnp.take(x, idx, axis=0) * window[None, :]).T
+
+
+@partial(jax.jit, static_argnames=("frame_size", "hop_size", "n_frames"))
+def _gammatone_impl(x, window, a, b, frame_size, hop_size, n_frames):
+    # f64 math like the reference
+    xs = _gammatone_frames_t(x, window, frame_size, hop_size, n_frames)
 
     n_bands = a.shape[0]
     a0 = a[:, :, 0][:, :, None]  # (n_bands, 4, 1)
@@ -191,10 +197,7 @@ def _gammatone_parallel_impl(x, window, a, b, frame_size, hop_size, n_frames):
     carries the frames axis), so the combine is 2×2 matrix products over
     (T, bands) plus elementwise updates over (T, bands, frames, 2).
     """
-    starts = np.arange(n_frames, dtype=np.int32) * hop_size
-    idx = jnp.asarray(starts[:, None] + np.arange(frame_size, dtype=np.int32)[None, :])
-    frames = jnp.take(x, idx, axis=0) * window[None, :]
-    xs = frames.T  # (T, F)
+    xs = _gammatone_frames_t(x, window, frame_size, hop_size, n_frames)
 
     n_bands = a.shape[0]
     sig = jnp.broadcast_to(xs[:, None, :], (frame_size, n_bands, xs.shape[1]))
