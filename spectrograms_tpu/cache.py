@@ -71,6 +71,14 @@ def fft_plan_cache_info() -> Dict[str, Dict[str, int]]:
         }
     except Exception:  # pragma: no cover - introspection only
         pass
+    from .autotune import wisdom
+
+    info["autotune.wisdom"] = {
+        "hits": -1,  # decided-without-measuring counts live on AutotuneResult
+        "misses": -1,
+        "currsize": len(wisdom()),
+        "maxsize": -1,
+    }
     return info
 
 
