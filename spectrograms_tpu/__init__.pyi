@@ -2342,8 +2342,13 @@ def compute_chromagram(samples, stft_params, sample_rate, chroma_params = ..., d
     """One-shot chromagram (parity with the PyO3 ``compute_chromagram``)."""
     ...
 
-def cqt(samples, sample_rate, params, hop_size, dtype = None):
-    """Complex CQT of a signal. → CqtResult with (n_bins, n_frames) data."""
+def cqt(samples, sample_rate, params, hop_size, dtype = None, precision = None):
+    """Complex CQT of a signal. → CqtResult with (n_bins, n_frames) data.
+
+    ``precision`` overrides the dot precision (default: HIGHEST for f64,
+    HIGH for f32 — pass ``jax.lax.Precision.HIGHEST`` to restore the
+    pre-0.2 exact-f32 behaviour at ~2× the cost).
+    """
     ...
 
 def gammatone_center_frequencies(erb_params):
@@ -2368,19 +2373,19 @@ def gammatone_iir_spectrogram(samples, sample_rate, frame_size, hop_size, erb_pa
     """
     ...
 
-def mdct(samples, params, dtype = None):
+def mdct(samples, params, dtype = None, precision = None):
     """MDCT coefficients, shape (N, n_frames)."""
     ...
 
-def imdct(coefficients, params, original_length = None, dtype = None):
+def imdct(coefficients, params, original_length = None, dtype = None, precision = None):
     """Inverse MDCT via synthesis-windowed overlap-add."""
     ...
 
-def compute_mdct(samples, params, dtype = None):
+def compute_mdct(samples, params, dtype = None, precision = None):
     """MDCT coefficients, shape (N, n_frames)."""
     ...
 
-def compute_imdct(coefficients, params, original_length = None, dtype = None):
+def compute_imdct(coefficients, params, original_length = None, dtype = None, precision = None):
     """Inverse MDCT via synthesis-windowed overlap-add."""
     ...
 

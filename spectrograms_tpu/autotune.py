@@ -192,12 +192,24 @@ def _plan_key(plan, batch_shape) -> str:
     else:
         mp, kind, feat = plan, type(plan).__name__.lower(), ""
     stft = mp.params.stft
+    win_key = str(stft.window)
+    coeffs = getattr(stft.window, "coefficients", None)
+    if coeffs is not None:
+        # str(Custom(n=N)) collapses distinct custom windows to one key; a
+        # wisdom entry must not be applied to coefficients it was never
+        # measured on. Hash the actual values into the key.
+        import hashlib
+
+        win_key += ":" + hashlib.sha1(
+            np.asarray(coeffs, dtype=np.float64).tobytes()
+        ).hexdigest()[:16]
     return json.dumps(
         [
             kind,
             stft.n_fft,
             stft.hop_size,
-            str(stft.window),
+            bool(stft.centre),
+            win_key,
             str(getattr(mp, "freq_scale", "")),
             str(getattr(mp, "amp_scale", "")),
             # Full scale/log/feature config — plans differing only in e.g.

@@ -412,7 +412,10 @@ def compute_ilr_spectrogram(audio, params: ILRSpectrogramParams, dtype=None) -> 
 # Batch APIs — one vmapped device program over a batch of stereo pairs
 # ---------------------------------------------------------------------------
 
-_BATCH_FN_CACHE: dict = {}
+# LRU-bounded: a long-lived process sweeping many binaural configs must not
+# accumulate compiled executables without bound (each entry pins a jit cache).
+_BATCH_FN_CACHE: "dict" = {}
+_BATCH_FN_CACHE_MAX = 32
 
 
 def _batched_fn(kind: str, params, dt):
@@ -424,6 +427,7 @@ def _batched_fn(kind: str, params, dt):
         key = None
         cached = None
     if cached is not None:
+        _BATCH_FN_CACHE[key] = _BATCH_FN_CACHE.pop(key)  # refresh LRU order
         return cached
 
     start_bin, stop_bin, bin_width = _bin_range(params)
@@ -447,6 +451,13 @@ def _batched_fn(kind: str, params, dt):
 
     fn = jax.jit(jax.vmap(one))
     if key is not None:
+        while len(_BATCH_FN_CACHE) >= _BATCH_FN_CACHE_MAX:
+            old_key, old_fn = next(iter(_BATCH_FN_CACHE.items()))
+            del _BATCH_FN_CACHE[old_key]
+            try:
+                old_fn.clear_cache()  # drop the compiled executables too
+            except Exception:
+                pass
         _BATCH_FN_CACHE[key] = fn
     return fn
 

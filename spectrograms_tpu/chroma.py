@@ -180,7 +180,7 @@ class ChromaPlan:
             # rides pre_amp="magnitude" so the bank consumes |X| like the
             # reference (chroma.rs:365-403). ~5× fewer MXU MACs than the
             # dense DFT at n_fft=4096.
-            from .ops.pallas_factored import fused_factored_features
+            from .ops.pallas_factored import KernelConst, fused_factored_features
             from .windows import make_window
 
             window64 = make_window(stft_params.window, stft_params.n_fft, np.float64)
@@ -189,7 +189,7 @@ class ChromaPlan:
                 stft_params.n_fft,
                 stft_params.hop_size,
                 tuple(window64.tolist()),
-                tuple(map(tuple, fb64.tolist())),
+                KernelConst(fb64),
                 amp="power",
                 pre_amp="magnitude",
                 precision=(

@@ -81,8 +81,14 @@ def _cqt_impl(x, k_ri_t, frame_len, hop, precision):
     return ri[:, :n_bins].T, ri[:, n_bins:].T
 
 
-def cqt(samples, sample_rate: float, params: CqtParams, hop_size: int, dtype=None) -> CqtResult:
-    """Complex CQT of a signal. → CqtResult with (n_bins, n_frames) data."""
+def cqt(samples, sample_rate: float, params: CqtParams, hop_size: int, dtype=None,
+        precision=None) -> CqtResult:
+    """Complex CQT of a signal. → CqtResult with (n_bins, n_frames) data.
+
+    ``precision`` overrides the dot precision (default: HIGHEST for f64,
+    HIGH for f32 — pass ``jax.lax.Precision.HIGHEST`` to restore the
+    pre-0.2 exact-f32 behaviour at ~2× the cost).
+    """
     dt = parse_dtype(dtype if dtype is not None else getattr(samples, "dtype", None))
     x = jnp.asarray(samples).astype(dt).ravel()
     if x.shape[0] == 0:
@@ -100,7 +106,9 @@ def cqt(samples, sample_rate: float, params: CqtParams, hop_size: int, dtype=Non
         int(frame_len),
         int(hop_size),
         (
-            jax.lax.Precision.HIGHEST
+            jax.lax.Precision(precision)
+            if precision is not None
+            else jax.lax.Precision.HIGHEST
             if np.dtype(dt) == np.float64
             else jax.lax.Precision.HIGH
         ),

@@ -89,10 +89,13 @@ def _basis_for(params: MdctParams, dtype) -> tuple:
     return _mdct_basis(params.window_size, tuple(w.tolist()), np.dtype(dtype).str)
 
 
-def _mdct_precision(dt):
+def _mdct_precision(dt, precision=None):
     """f32 rides the pipeline-wide HIGH (3-pass bf16) policy — measured 2×
     the HIGHEST dot throughput at ~1e-5 relative accuracy; f64 keeps HIGHEST
-    (exact on the CPU backend, where f64 runs)."""
+    (exact on the CPU backend, where f64 runs). An explicit ``precision``
+    overrides (the f32 opt-out back to the pre-0.2 HIGHEST behaviour)."""
+    if precision is not None:
+        return jax.lax.Precision(precision)
     return (
         jax.lax.Precision.HIGHEST
         if np.dtype(dt) == np.float64
@@ -113,7 +116,7 @@ def _mdct_impl(x, fwd_basis, two_n, hop, precision):
                          precision=precision).T
 
 
-def mdct(samples, params: MdctParams, dtype=None) -> jax.Array:
+def mdct(samples, params: MdctParams, dtype=None, precision=None) -> jax.Array:
     """MDCT coefficients, shape (N, n_frames)."""
     dt = parse_dtype(dtype if dtype is not None else getattr(samples, "dtype", None))
     x = jnp.asarray(samples).astype(dt)
@@ -125,7 +128,8 @@ def mdct(samples, params: MdctParams, dtype=None) -> jax.Array:
             f"samples length ({x.shape[0]}) must be >= window_size ({two_n})"
         )
     fwd, _ = _basis_for(params, dt)
-    return _mdct_impl(x, jnp.asarray(fwd), two_n, params.hop_size, _mdct_precision(dt))
+    return _mdct_impl(x, jnp.asarray(fwd), two_n, params.hop_size,
+                      _mdct_precision(dt, precision))
 
 
 @partial(jax.jit, static_argnames=("two_n", "hop", "n_frames", "precision"))
@@ -136,7 +140,8 @@ def _imdct_impl(coeffs_t, inv_basis, two_n, hop, n_frames, precision):
     return overlap_add(frames, hop)
 
 
-def imdct(coefficients, params: MdctParams, original_length=None, dtype=None) -> jax.Array:
+def imdct(coefficients, params: MdctParams, original_length=None, dtype=None,
+          precision=None) -> jax.Array:
     """Inverse MDCT via synthesis-windowed overlap-add."""
     c = jnp.asarray(coefficients)
     if dtype is not None:
@@ -158,7 +163,7 @@ def imdct(coefficients, params: MdctParams, original_length=None, dtype=None) ->
         params.window_size,
         params.hop_size,
         n_frames,
-        _mdct_precision(c.dtype),
+        _mdct_precision(c.dtype, precision),
     )
     if original_length is not None:
         out = out[: int(original_length)]

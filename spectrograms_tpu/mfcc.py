@@ -183,7 +183,7 @@ class MfccPlan:
             # Fold the DCT (and C0 drop) straight into the fused kernel:
             # signal in → liftered MFCCs out, one Pallas program.
             from .ops.filterbanks import mel_filterbank
-            from .ops.pallas_factored import fused_factored_features
+            from .ops.pallas_factored import KernelConst, fused_factored_features
             from .windows import make_window
 
             basis64 = _dct_lifter_matrix(
@@ -197,7 +197,7 @@ class MfccPlan:
                 stft_params.n_fft,
                 stft_params.hop_size,
                 tuple(window64.tolist()),
-                tuple(map(tuple, mapping64.tolist())),
+                KernelConst(mapping64),
                 amp="decibels",
                 floor_db=float(log_params.floor_db),
                 precision=(
@@ -206,7 +206,7 @@ class MfccPlan:
                     else "bf16x3"
                 ),
                 centre=stft_params.centre,
-                dct_key=tuple(map(tuple, basis64.tolist())),
+                dct_key=KernelConst(basis64),
                 interpret=jax.default_backend() == "cpu",
             )
             from .ops.gradients import pallas_forward_xla_grad

@@ -44,7 +44,34 @@ import numpy as np
 
 from ..errors import InvalidInputError
 
-__all__ = ["fused_factored_features", "supports_factored_fusion"]
+__all__ = ["fused_factored_features", "supports_factored_fusion", "KernelConst"]
+
+
+class KernelConst:
+    """Hashable ndarray wrapper for the ``fused_factored_features`` lru_cache.
+
+    Keys the cache on a content digest instead of a tuple-of-tuples: a mel
+    matrix as nested Python floats is megabytes of boxed objects pinned per
+    cache slot (and rebuilt per plan construction); the digest is 20 bytes
+    and the ndarray rides along out-of-band.
+    """
+
+    __slots__ = ("array", "_digest")
+
+    def __init__(self, array):
+        import hashlib
+
+        self.array = np.asarray(array, dtype=np.float64)
+        self.array.setflags(write=False)
+        self._digest = hashlib.sha1(
+            self.array.tobytes() + str(self.array.shape).encode()
+        ).digest()
+
+    def __hash__(self):
+        return hash(self._digest)
+
+    def __eq__(self, other):
+        return isinstance(other, KernelConst) and self._digest == other._digest
 
 try:  # pragma: no cover - import guard
     from jax.experimental import pallas as pl
@@ -317,6 +344,8 @@ def fused_factored_features(
         if mapping_key != "identity":
             raise InvalidInputError(f"unknown mapping_key {mapping_key!r}")
         fb = np.eye(n_bins, dtype=np.float64)
+    elif isinstance(mapping_key, KernelConst):
+        fb = mapping_key.array                               # (n_out, n_bins)
     else:
         fb = np.asarray(mapping_key, dtype=np.float64)       # (n_out, n_bins)
     if fb.shape[1] != n_bins:
@@ -335,7 +364,11 @@ def fused_factored_features(
     M = M.astype(np.float32)
 
     if dct_key is not None:
-        dct = np.asarray(dct_key, dtype=np.float64)          # (n_out, n_coef)
+        dct = (
+            dct_key.array
+            if isinstance(dct_key, KernelConst)
+            else np.asarray(dct_key, dtype=np.float64)
+        )                                                    # (n_out, n_coef)
         if dct.shape[0] != n_out:
             raise InvalidInputError(
                 f"dct matrix has {dct.shape[0]} rows, expected {n_out}"

@@ -44,9 +44,12 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data", pad: bool = True,
 
             warnings.warn(
                 f"shard_batch zero-padded the batch from {b} to {b + extra} "
-                f"rows to divide over the '{axis}' mesh axis; pass "
-                "return_mask=True to mask the padding rows downstream (or "
-                "pad=False to make uneven batches an error)",
+                f"rows to divide over the '{axis}' mesh axis. Features "
+                "computed on the all-zero padding rows (e.g. dB-floor "
+                "values) flow downstream as if they were real rows and WILL "
+                "corrupt any statistic taken over the batch axis. Pass "
+                "return_mask=True and mask them, or pad=False to make "
+                "uneven batches an error (the pre-0.2 behaviour).",
                 stacklevel=2,
             )
         x = jnp.pad(x, [(0, extra)] + [(0, 0)] * (x.ndim - 1))

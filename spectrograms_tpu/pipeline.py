@@ -407,10 +407,10 @@ class SpectrogramPlan:
             # lru_cache key stays small) — still ~2× fewer MXU MACs than the
             # dense DFT (the bin reordering is free inside the folded matrix;
             # measured 1.15× on v5e, docs/KERNEL_AB.md).
+            from .ops.pallas_factored import KernelConst
+
             kernel_mapping = (
-                tuple(map(tuple, mapping.tolist()))
-                if mapping is not None
-                else "identity"
+                KernelConst(mapping) if mapping is not None else "identity"
             )
             self._pallas_factored = True
             self._pallas_run = fused_factored_features(
