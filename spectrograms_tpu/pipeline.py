@@ -550,7 +550,17 @@ class SpectrogramPlan:
 
     def compute_frame(self, samples, frame_idx: int) -> jax.Array:
         """Streaming single-frame path (parity with ``compute_frame``,
-        spectrogram.rs:335): frame ``frame_idx`` against the current signal."""
+        spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
+        """
         x = self._validate_signal(samples)
         n = x.shape[0]
         nf = frame_count(n, self._n_fft, self._hop, self._centre)
@@ -558,8 +568,16 @@ class SpectrogramPlan:
             raise InvalidInputError(
                 f"frame_idx {frame_idx} out of range (n_frames={nf})"
             )
+        capacity = max(4 * self._n_fft, 1 << (n - 1).bit_length())
+        # Pad on the host: a device-side pad would itself compile one tiny
+        # program per distinct length, which is the exact footgun this
+        # bucketing removes. (This path is host-interactive by nature; the
+        # one D2H fetch for device-resident inputs is the cheap direction.)
+        xc = np.zeros(capacity, dtype=self._dtype)
+        xc[:n] = np.asarray(x)
+        xc = jnp.asarray(xc)
         frame = _extract_frame(
-            x, jnp.asarray(frame_idx, dtype=jnp.int32), self._n_fft, self._hop, self._centre
+            xc, jnp.asarray(frame_idx, dtype=jnp.int32), self._n_fft, self._hop, self._centre
         )
         return self._forward_frames(frame[None, :])[0]
 

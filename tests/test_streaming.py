@@ -46,6 +46,28 @@ def test_streaming_growing_buffer():
         assert np.allclose(frame, full[:, i], atol=1e-10)
 
 
+def test_compute_frame_growing_buffer_compiles_o1():
+    """The reference streaming idiom (a buffer that grows every hop,
+    python/examples/streaming.py:60-70) must not compile one program per
+    buffer length — on TPU each is a 30-90 s remote compile. Capacity
+    bucketing keeps the jit cache O(log n) across 100 growing calls."""
+    from spectrograms_tpu.pipeline import _extract_frame
+
+    plan = sg.SpectrogramPlanner().linear_power_plan(PARAMS, dtype="float64")
+    x = sine(440.0, duration=2.0)
+    n_fft, hop = 256, 128
+    before = _extract_frame._cache_size()
+    full = np.asarray(plan.compute(x).data)
+    for i in range(100):
+        needed = i * hop + n_fft
+        frame = np.asarray(plan.compute_frame(x[:needed], i))
+        assert np.allclose(frame, full[:, i], atol=1e-10), f"frame {i}"
+    compiles = _extract_frame._cache_size() - before
+    # 100 lengths from 256 to ~13k samples span ≤ 5 power-of-two buckets
+    # (min bucket 4·n_fft = 1024).
+    assert compiles <= 5, f"{compiles} _extract_frame compiles for 100 lengths"
+
+
 def test_compute_frame_out_of_range():
     plan = sg.SpectrogramPlanner().linear_power_plan(PARAMS, dtype="float64")
     x = sine(440.0, duration=0.1)
