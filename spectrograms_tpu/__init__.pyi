@@ -540,6 +540,15 @@ class SpectrogramPlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -552,6 +561,15 @@ class SpectrogramPlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -765,6 +783,15 @@ class LinearPowerPlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -777,6 +804,15 @@ class LinearPowerPlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -806,6 +842,15 @@ class LinearMagnitudePlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -818,6 +863,15 @@ class LinearMagnitudePlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -847,6 +901,15 @@ class LinearDbPlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -859,6 +922,15 @@ class LinearDbPlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -888,6 +960,15 @@ class MelPowerPlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -900,6 +981,15 @@ class MelPowerPlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -929,6 +1019,15 @@ class MelMagnitudePlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -941,6 +1040,15 @@ class MelMagnitudePlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -970,6 +1078,15 @@ class MelDbPlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -982,6 +1099,15 @@ class MelDbPlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -1011,6 +1137,15 @@ class ErbPowerPlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -1023,6 +1158,15 @@ class ErbPowerPlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -1052,6 +1196,15 @@ class ErbMagnitudePlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -1064,6 +1217,15 @@ class ErbMagnitudePlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -1093,6 +1255,15 @@ class ErbDbPlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -1105,6 +1276,15 @@ class ErbDbPlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -1134,6 +1314,15 @@ class LogHzPowerPlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -1146,6 +1335,15 @@ class LogHzPowerPlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -1175,6 +1373,15 @@ class LogHzMagnitudePlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -1187,6 +1394,15 @@ class LogHzMagnitudePlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -1216,6 +1432,15 @@ class LogHzDbPlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -1228,6 +1453,15 @@ class LogHzDbPlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -1257,6 +1491,15 @@ class CqtPowerPlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -1269,6 +1512,15 @@ class CqtPowerPlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -1298,6 +1550,15 @@ class CqtMagnitudePlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -1310,6 +1571,15 @@ class CqtMagnitudePlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property
@@ -1339,6 +1609,15 @@ class CqtDbPlan:
     def compute_frame(self, samples, frame_idx):
         """Streaming single-frame path (parity with ``compute_frame``,
         spectrogram.rs:335): frame ``frame_idx`` against the current signal.
+
+        The signal is zero-padded up to a power-of-two *capacity bucket*
+        before extraction, so the reference's growing-buffer streaming idiom
+        (``python/examples/streaming.py:60-70`` — call this with a buffer
+        that grows every hop) compiles O(log n) programs instead of one per
+        distinct buffer length. On TPU, where each new program is a 30–90 s
+        remote compile, the per-length behaviour was unusable; for real-time
+        work prefer :class:`~spectrograms_tpu.runtime.streaming.StreamingStft`
+        (fixed-shape, zero recompiles after warmup).
         """
         ...
 
@@ -1351,6 +1630,15 @@ class CqtDbPlan:
 
     def compute_raw(self, samples):
         """Like :meth:`compute` but returns only the (n_bins, n_frames) array."""
+        ...
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
         ...
 
     @property

@@ -11,22 +11,45 @@ keep the 4–7× MAC reduction of Cooley-Tukey is to keep every stage on-chip
 Factorization (N = 128·r, chunk-major so every array keeps a 128 lane dim):
 
     x[n₁ + 128·n₂]                                 (n₂ = chunk, n₁ minor)
-    Y[c, n₁]  = Σ_{n₂} x[n₂, n₁] · W_r^{n₂ c}       inner r-DFT — f32 VPU
+    Y[c, n₁]  = Σ_{n₂} x[n₂, n₁] · W_r^{n₂ c}       inner r-DFT — shared
+                                                    radix-2 DIT on the VPU
     B[c, n₁]  = W_N^{n₁ c} · Y[c, n₁]               twiddle     — f32 VPU
-    X[c+r·k₁] = Σ_{n₁} B[c, n₁] · W₁₂₈^{n₁ k₁}      outer dot   — MXU (packed
-                                                    complex (·,256)@(256,256))
+    X[c+r·k₁] = Σ_{n₁} B[c, n₁] · W₁₂₈^{n₁ k₁}      outer dot   — MXU
 
 Real-input Hermitian symmetry: |X[k]|² = |X[N−k]|², and slot (c, k₁) mirrors
 to (r−c, 127−k₁) — so only c ∈ [0, r/2] classes are computed (5 of 8 at
 n_fft=1024) and the filterbank matrix is *pre-permuted and mirror-folded* on
-the host so the kernel consumes the (c, k₁) layout directly. Per-frame MXU
-MACs at n_fft=1024/mel-128: 4·5·128² (DFT) + 5·128·128 (mel) ≈ 0.41M vs
-2·1024·513 + 640·128 ≈ 2.2M for the dense kernel — ~5× less work.
+the host so the kernel consumes the (c, k₁) layout directly.
+
+Round-3 restructure (the round-2 task-roofline attack — the O(r²) inner
+sums and the packed (·,256)@(256,256) outer dots executed ~5× the FLOPs of
+a true FFT):
+
+- the inner r-DFT classes come out of ONE shared radix-2 decimation-in-time
+  recursion over the chunk axis (``_real_fft_classes``): op sharing across
+  classes cuts the VPU work from ~classes·2r to ~r·log₂r vector ops, and
+  exposes that classes 0 and r/2 are exactly real;
+- the two real classes skip the VPU twiddle entirely (it is folded into a
+  per-class outer constant) and need only ONE (tile,128)@(128,256) MXU dot
+  each — 2·128² MACs vs the 4·128² of the packed complex form;
+- in the 1-pass bf16 serving tier, the complex classes (1..r/2−1) multiply
+  by the outer DFT matrix with the 3-multiplication Gauss complex product
+  (T1=(A+B)@C, T2=B@(C−S'), T3=A@(−C−S') → re=T1−T2, im=T1+T3) — 3·128²
+  MACs, 25 % below packed. The bf16x3 accuracy tier keeps the packed
+  4-mult form: Gauss's T1−T2 cancellation doubles its error constant
+  (measured 2.7e-6 → 3.7e-6 global rel on the mel sweep), which the
+  accuracy tier is not allowed to pay; in bf16 the input rounding (~2e-3)
+  dominates it, so the serving tier takes the MAC cut for free.
+
+Per-frame MXU MACs at n_fft=1024/mel-128, bf16 tier: (2·2 + 3·3)·128²
+(DFT) + 640·128 (mel) ≈ 0.30M; bf16x3 tier: (2·2 + 3·4)·128² + mel ≈
+0.34M — vs 0.41M for the round-2 kernel and ≈ 2.2M for the dense kernel.
 
 Precision: the inner DFT and twiddles run in exact f32 on the VPU; only the
-outer dot uses bf16 ("bf16" 1-pass / "bf16x3" hi-lo 3-pass) — strictly
+outer dots use bf16 ("bf16" 1-pass / "bf16x3" hi-lo 3-pass) — strictly
 tighter than the dense kernel, which runs the full N-point contraction in
-bf16. The mel/DCT dots stay f32.
+bf16. The mel/DCT dots stay f32. Power is conjugation-invariant, so sign
+conventions cannot silently flip anything.
 
 The optional DCT tail makes this the complete MFCC pipeline in one kernel
 (signal in → liftered coefficients out), the round-1 VERDICT's "make the
@@ -107,14 +130,86 @@ def supports_factored_fusion(n_fft: int, hop: int, dtype) -> bool:
     return (r & (r - 1)) == 0 and 0 < hop <= n_fft
 
 
+def _real_fft_classes(xs):
+    """Shared radix-2 DIT real-input DFT over the chunk axis.
+
+    ``xs``: list of ``r`` real (tile, 128) arrays. Returns ``(re, im)`` for
+    classes c = 0..r/2 of ``Y[c] = Σ_{n₂} xs[n₂]·e^{-2πi n₂ c / r}``, with
+    ``im=None`` meaning *exactly zero* (true for c=0 and c=r/2 on real
+    input). The even/odd recursion shares every sub-DFT across all classes
+    — ~r·log₂r vector ops instead of the ~classes·2r of per-class direct
+    sums — and multiplications by 0/±1/±i cost nothing (constant folding
+    below). Works on numpy or traced jax arrays alike.
+    """
+    r = len(xs)
+    if r == 1:
+        return [(xs[0], None)]
+    ev = _real_fft_classes(xs[0::2])  # classes 0..r/4 of the r/2-point DFT
+    od = _real_fft_classes(xs[1::2])
+    half = r // 2
+
+    def mul(x, s):
+        if x is None or abs(s) < 1e-15:
+            return None
+        if s == 1.0:
+            return x
+        if s == -1.0:
+            return -x
+        return x * np.float32(s)
+
+    def add(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a + b
+
+    def sub_dft(dfts, c):
+        """Class c in 0..half-1 of a half-point real DFT via conj symmetry."""
+        if c <= half // 2:
+            re, im = dfts[c]
+            return re, im
+        re, im = dfts[half - c]
+        return re, (None if im is None else -im)
+
+    out = []
+    for c in range(r // 2 + 1):
+        e_re, e_im = sub_dft(ev, c % half)
+        o_re, o_im = sub_dft(od, c % half)
+        wr = float(np.cos(2.0 * np.pi * c / r))
+        wi = float(-np.sin(2.0 * np.pi * c / r))
+        if abs(wr) < 1e-15:
+            wr = 0.0
+        if abs(wi) < 1e-15:
+            wi = 0.0
+        for exact in (-1.0, 1.0):
+            if abs(wr - exact) < 1e-15:
+                wr = exact
+            if abs(wi - exact) < 1e-15:
+                wi = exact
+        # t = w · O  (w = e^{-2πi c/r})
+        t_re = add(mul(o_re, wr), mul(o_im, -wi))
+        t_im = add(mul(o_im, wr), mul(o_re, wi))
+        # X_c = E + t  /  X_{c+r/2} would be E − t (not needed: c ≤ r/2)
+        x_re = add(e_re, t_re)
+        x_im = add(e_im, t_im)
+        out.append((x_re, x_im))
+    return out
+
+
 def _kernel(
     # inputs (halo mode: xa/xb signal rows; frames mode: xa = frame tile)
     xa_ref,
     xb_ref,
-    w2_hi_ref,      # (256, 256) bf16 packed [[C,S],[-S,C]] hi
-    w2_lo_ref,      # (256, 256) bf16 lo (dummy in bf16 mode)
+    g_hi_ref,       # bf16 complex-class outer constants hi: (128, 384)
+                    # [G1|G2|G3] Gauss in bf16 mode, (256, 256) packed
+                    # [[C,−S'],[S',C]] in bf16x3 mode
+    g_lo_ref,       # same shape lo (dummy (8,128) in bf16 mode)
     win_ref,        # (1, n_fft) f32 analysis window
     tw_ref,         # (classes_pad, 256) f32 packed twiddle [re | im]
+    rw_ref,         # (256, 256) bf16 real-class outer dots hi: rows 0:128 =
+                    # class 0 [C|−S], rows 128:256 = class r/2 (twiddle folded)
+    rw_lo_ref,      # (256, 256) bf16 lo (dummy in bf16 mode)
     map_ref,        # (classes*128, n_out_pad) f32 folded filterbank
     dct_ref,        # (n_out_pad, dct_pad) f32 (dummy when no dct)
     out_ref,        # (1, tile_f, out_cols) f32
@@ -137,7 +232,7 @@ def _kernel(
         # Mosaic lowers f32 dots to a single bf16 MXU pass; in x3 mode do the
         # explicit hi/lo 3-pass (a·b ≈ aₕbₕ + aₕbₗ + aₗbₕ) so the filterbank
         # and DCT tails keep HIGH accuracy like the DFT stage. Pass a
-        # presplit bf16 (b, b_lo) pair (e.g. the W2 constants) to skip the
+        # presplit bf16 (b, b_lo) pair (the G/rw constants) to skip the
         # on-the-fly split.
         a_hi = a.astype(jnp.bfloat16)
         b_hi = b if b.dtype == jnp.bfloat16 else b.astype(jnp.bfloat16)
@@ -168,60 +263,71 @@ def _kernel(
         for n2 in range(r)
     ]
 
-    # Inner r-point DFT coefficients as static f32 scalars (exact VPU math).
-    n2v = np.arange(r)
-    bbs = []
-    for c in range(classes):
-        cc = np.cos(2.0 * np.pi * n2v * c / r)
-        ss = -np.sin(2.0 * np.pi * n2v * c / r)
-        y_re = None
-        y_im = None
-        for n2 in range(r):
-            # Skip exact zeros (c=0 sine terms, etc.) — fewer VPU ops.
-            if abs(cc[n2]) > 1e-12:
-                t = xw[n2] * np.float32(cc[n2])
-                y_re = t if y_re is None else y_re + t
-            if abs(ss[n2]) > 1e-12:
-                t = xw[n2] * np.float32(ss[n2])
-                y_im = t if y_im is None else y_im + t
-        if y_re is None:
-            y_re = jnp.zeros_like(xw[0])
-        if y_im is None:
-            y_im = jnp.zeros_like(xw[0])
+    # Inner r-point DFT: one shared radix-2 recursion for all classes.
+    ys = _real_fft_classes(xw)  # [(re, im)] for c = 0..r/2; im=None ⇒ zero
 
+    ps = [None] * classes
+
+    # Real classes (0 and r/2): inner output exactly real, twiddle folded
+    # into the per-class outer constant — one (tile,128)@(128,256) dot each.
+    for slot, c in enumerate((0, r // 2)):
+        y_re, y_im = ys[c]
+        sl = slice(slot * 128, (slot + 1) * 128)
+        # (the lo refs are (8,128) dummies in bf16 mode — don't slice them)
+        xx = dot3(y_re, rw_ref[sl, :], rw_lo_ref[sl, :] if x3 else None)
+        ps[c] = xx[:, :128] * xx[:, :128] + xx[:, 128:] * xx[:, 128:]
+
+    # Complex classes (1..r/2−1): VPU twiddle, then the Gauss 3-mult outer
+    # product re=T1−T2, im=T1+T3 with shared constants
+    # G1=C, G2=C−S', G3=−(C+S')  (C[n,k]=cos2πnk/128, S'[n,k]=sin2πnk/128).
+    ccs = [c for c in range(1, r // 2)]
+    bres, bims = [], []
+    for c in ccs:
+        y_re, y_im = ys[c]
+        if y_im is None:  # defensive; only 0 and r/2 are structurally real
+            y_im = jnp.zeros_like(y_re)
         tw_re = tw_ref[c, :128]
         tw_im = tw_ref[c, 128:]
-        b_re = y_re * tw_re - y_im * tw_im
-        b_im = y_re * tw_im + y_im * tw_re
-        bbs.append(jnp.concatenate([b_re, b_im], axis=1))   # (tile_f, 256) f32
+        bres.append(y_re * tw_re - y_im * tw_im)
+        bims.append(y_re * tw_im + y_im * tw_re)
 
-    if batch_classes:
-        # All Hermitian classes share W2 and the map already stacks their
-        # blocks row-wise, so both tails collapse into single large dots:
-        # (classes·tile_f, 256)·(256, 256) then (tile_f, classes·128)·map.
-        # Bigger M/K dims keep the MXU busier than classes separate small
-        # dots; the math (incl. the hi/lo splits) is grouping-identical.
-        BB = jnp.concatenate(bbs, axis=0)                   # (classes·tile_f, 256)
-        XX = dot3(BB, w2_hi_ref[:], w2_lo_ref[:])
-        ps = []
-        for c in range(classes):
-            xx = XX[c * tile_f : (c + 1) * tile_f, :]
-            ps.append(xx[:, :128] * xx[:, :128] + xx[:, 128:] * xx[:, 128:])
-        P = jnp.concatenate(ps, axis=1)                     # (tile_f, classes·128)
-        if pre_amp == "magnitude":
-            # e.g. chroma: the filterbank consumes |X|, not |X|² — the sqrt
-            # must precede the matmul (chroma.rs:365-403).
-            P = jnp.sqrt(P)
-        feat = dot3(P, map_ref[:])
+    def complex_power(a_re, a_im):
+        if x3:
+            # Accuracy tier: packed 4-mult complex product — one
+            # (·,256)@(256,256) dot. Gauss's T1−T2 cancellation doubles the
+            # error constant, which the bf16x3 tier is not allowed to pay
+            # (measured: 2.7e-6 → 3.7e-6 global rel on the mel sweep).
+            bb = jnp.concatenate([a_re, a_im], axis=1)
+            xx = dot3(bb, g_hi_ref[:], g_lo_ref[:])
+            p, q = xx[:, :128], xx[:, 128:]
+        else:
+            # Serving tier: Gauss 3-mult — 25 % fewer MXU MACs; the bf16
+            # input rounding (~2e-3 rel) dominates the Gauss constant anyway.
+            t1 = dot3(a_re + a_im, g_hi_ref[:, 0:128])
+            t2 = dot3(a_im, g_hi_ref[:, 128:256])
+            t3 = dot3(a_re, g_hi_ref[:, 256:384])
+            p = t1 - t2
+            q = t1 + t3
+        return p * p + q * q
+
+    if ccs and batch_classes:
+        # Stack the complex classes into large dots — bigger M keeps
+        # the MXU busier than per-class small dots (measured +13% round 2).
+        A = jnp.concatenate(bres, axis=0)  # (n_cc·tile_f, 128)
+        B = jnp.concatenate(bims, axis=0)
+        pw = complex_power(A, B)
+        for i, c in enumerate(ccs):
+            ps[c] = pw[i * tile_f : (i + 1) * tile_f, :]
     else:
-        feat = None
-        for c, bb in enumerate(bbs):
-            xx = dot3(bb, w2_hi_ref[:], w2_lo_ref[:])
-            p = xx[:, :128] * xx[:, :128] + xx[:, 128:] * xx[:, 128:]
-            if pre_amp == "magnitude":
-                p = jnp.sqrt(p)
-            part = dot3(p, map_ref[c * 128 : (c + 1) * 128, :])
-            feat = part if feat is None else feat + part
+        for i, c in enumerate(ccs):
+            ps[c] = complex_power(bres[i], bims[i])
+
+    P = jnp.concatenate(ps, axis=1)  # (tile_f, classes·128)
+    if pre_amp == "magnitude":
+        # e.g. chroma: the filterbank consumes |X|, not |X|² — the sqrt
+        # must precede the matmul (chroma.rs:365-403).
+        P = jnp.sqrt(P)
+    feat = dot3(P, map_ref[:])
 
     if amp == "magnitude":
         feat = jnp.sqrt(feat)
@@ -320,11 +426,28 @@ def fused_factored_features(
     n1 = np.arange(128, dtype=np.float64)
     ang = 2.0 * np.pi * np.outer(n1, n1) / 128.0
     C = np.cos(ang)
-    S = -np.sin(ang)
-    w2 = np.block([[C, S], [-S, C]]).astype(np.float32)      # (256, 256)
-    w2_hi, w2_lo = _split_bf16(w2)
+    Sp = np.sin(ang)
+    if x3:
+        # Accuracy tier: packed 4-mult complex outer constant.
+        G = np.block([[C, -Sp], [Sp, C]]).astype(np.float32)  # (256, 256)
+    else:
+        # Serving tier: Gauss 3-mult outer constants — X = (a+ib)·(C − iS')
+        # via T1=(a+b)@G1, T2=b@G2, T3=a@G3 → re=T1−T2, im=T1+T3.
+        G = np.concatenate([C, C - Sp, -(C + Sp)], axis=1).astype(np.float32)
+    g_hi, g_lo = _split_bf16(G)
+    # Real-class outer dots (classes 0 and r/2): the class twiddle
+    # e^{-2πi n₁ c / N} folds into the constant, so the kernel's input is
+    # the real inner-DFT output and one (128, 256) [cosθ | −sinθ] dot
+    # yields [re | im] directly.
+    rw = np.zeros((256, 256), dtype=np.float64)
+    for slot, c in enumerate((0, r // 2)):
+        th = ang + 2.0 * np.pi * np.outer(n1, np.ones(128)) * c / n_fft
+        rw[slot * 128 : (slot + 1) * 128, :128] = np.cos(th)
+        rw[slot * 128 : (slot + 1) * 128, 128:] = -np.sin(th)
+    rw_hi, rw_lo = _split_bf16(rw.astype(np.float32))
     if not x3:
-        w2_lo = np.zeros((8, 128), dtype=w2_lo.dtype)
+        g_lo = np.zeros((8, 128), dtype=g_lo.dtype)
+        rw_lo = np.zeros((8, 128), dtype=rw_lo.dtype)
 
     win = (
         np.ones((1, n_fft), dtype=np.float32)
@@ -385,7 +508,8 @@ def fused_factored_features(
         out_cols = n_out_pad
         n_final = n_out
 
-    w2_hi_j, w2_lo_j = jnp.asarray(w2_hi), jnp.asarray(w2_lo)
+    g_hi_j, g_lo_j = jnp.asarray(g_hi), jnp.asarray(g_lo)
+    rw_hi_j, rw_lo_j = jnp.asarray(rw_hi), jnp.asarray(rw_lo)
     win_j, tw_j = jnp.asarray(win), jnp.asarray(tw)
     map_j, dct_j = jnp.asarray(M), jnp.asarray(dct_mat)
 
@@ -405,14 +529,16 @@ def fused_factored_features(
         batch_classes=bool(batch_classes),
     )
     const_specs = [
-        pl.BlockSpec((256, 256), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(tuple(w2_lo_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(tuple(g_hi_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(tuple(g_lo_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n_fft), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((classes_pad, 256), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((256, 256), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(tuple(rw_lo_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(tuple(map_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(tuple(dct_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    consts = (w2_hi_j, w2_lo_j, win_j, tw_j, map_j, dct_j)
+    consts = (g_hi_j, g_lo_j, win_j, tw_j, rw_hi_j, rw_lo_j, map_j, dct_j)
 
     @jax.jit
     def run(x):

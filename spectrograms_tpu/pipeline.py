@@ -225,10 +225,22 @@ def _resolve_method(method: str, n_fft: int, hop: int, dtype, freq_scale,
     from .ops.fft_factored import supports_factored
     from .ops.pallas_factored import supports_factored_fusion
 
-    if method not in ("auto", "matmul", "factored", "fft", "pallas"):
+    if method not in ("auto", "matmul", "factored", "fft", "pallas", "f32x2"):
         raise InvalidInputError(
-            f"unknown method {method!r}; expected auto/matmul/factored/fft/pallas"
+            f"unknown method {method!r}; expected "
+            "auto/matmul/factored/fft/pallas/f32x2"
         )
+    if method == "f32x2":
+        if np.dtype(dtype) != np.float32:
+            raise InvalidInputError("method='f32x2' is the f32-pair tier; "
+                                    "use dtype='float32' (f64 runs natively "
+                                    "on the CPU backend)")
+        if n_fft & (n_fft - 1):
+            raise InvalidInputError(
+                f"method='f32x2' requires a power-of-two n_fft, got {n_fft}"
+            )
+        if freq_scale == FreqScale.CQT:
+            raise InvalidInputError("method='f32x2' does not cover CQT plans")
     if method == "auto":
         if np.dtype(dtype) == np.float64 or n_fft > MATMUL_MAX_N_FFT:
             return "fft"
@@ -368,6 +380,17 @@ class SpectrogramPlan:
             self._factored = FactoredRfft(
                 n_fft, window64, self._dtype, precision=self.precision
             )
+        if self.method == "f32x2":
+            # f64-grade verification tier on f64-less devices: every stage
+            # runs in double-double (f32 hi/lo pair) arithmetic — see
+            # ops/dd.py. Closes the reference's native-f64 Sample asymmetry
+            # (/root/reference/src/sample.rs:23-86) on the TPU itself.
+            from .ops import dd as _dd
+
+            self._dd_window = _dd.dd_from_f64(window64)
+            self._dd_mapping = (
+                None if mapping is None else _dd.dd_from_f64(mapping)
+            )
 
         self._floor_db = None if log_params is None else log_params.floor_db
         if amp_scale == AmpScale.DECIBELS and self._floor_db is None:
@@ -442,10 +465,64 @@ class SpectrogramPlan:
             self._forward_frames = jax.jit(self._frames_to_bins)
             self._forward_batch = jax.jit(jax.vmap(self._forward_impl))
 
+        if self.method == "f32x2":
+            def _fx2(x):
+                frames = frame_signal(x, self._n_fft, self._hop, self._centre)
+                hi, lo = self._bins_x2(frames)
+                return hi.T, lo.T
+
+            self._forward_x2 = jax.jit(_fx2)
+
     # ---- core math ------------------------------------------------------
+    def _bins_x2(self, frames):
+        """f32x2 tier: (n_frames, n_fft) frames → ((hi, lo), (n_frames, n_out)).
+
+        Window, rFFT, |·|², filterbank, and magnitude all run in
+        double-double; hi is the correctly-rounded f32 result and hi+lo
+        (recombined in f64 on the host) carries ~1e-14 relative accuracy.
+        Decibels are the exception: log10 is evaluated in f32 with a
+        first-order dd correction (~1e-6 dB absolute — the dd pair cannot
+        buy back a transcendental the hardware evaluates in f32).
+        """
+        from .ops import dd as D
+
+        fr = (frames.astype(jnp.float32), jnp.zeros(frames.shape, jnp.float32))
+        xw = D.dd_mul(fr, self._dd_window)
+        re, im = D.dd_rfft(xw, self._n_fft)
+        p = D.dd_add(D.dd_mul(re, re), D.dd_mul(im, im))
+        if self._dd_mapping is not None:
+            p = D.dd_matvec(self._dd_mapping, p)
+        if self.amp_scale == AmpScale.MAGNITUDE:
+            p = D.dd_sqrt(p)
+        elif self.amp_scale == AmpScale.DECIBELS:
+            floor = self._floor_db if self._floor_db is not None else -80.0
+            eps = np.float32(10.0 ** (floor / 10.0))
+            hi = jnp.maximum(p[0], eps)
+            corr = jnp.where(p[0] > eps, p[1] / (hi * np.float32(np.log(10.0))), 0.0)
+            db = 10.0 * (jnp.log10(hi) + corr)
+            p = (db, jnp.zeros_like(db))
+        return p
+
+    def compute_raw_x2(self, samples):
+        """f64-grade device result as an (hi, lo) f32 pair, (n_bins, n_frames).
+
+        Only valid on ``method='f32x2'`` plans. Recombine with
+        ``ops.dd.dd_to_f64`` on the host for the full ~49-bit value; the
+        ``hi`` half alone equals :meth:`compute_raw` (correctly-rounded f32).
+        """
+        if self.method != "f32x2":
+            raise InvalidInputError(
+                "compute_raw_x2 requires a method='f32x2' plan"
+            )
+        x = self._validate_signal(samples)
+        hi, lo = self._forward_x2(x)
+        return hi, lo
+
     def _frames_to_bins(self, frames):
         """(n_frames, n_fft) raw frames → (n_frames, n_out) scaled features."""
         dt = self._dtype
+        if self.method == "f32x2" and self.freq_scale != FreqScale.CQT:
+            return self._bins_x2(frames)[0]  # hi = correctly-rounded f32
         if self.freq_scale == FreqScale.CQT:
             # Unwindowed frames: kernels carry their own window. Single
             # matmul against the [re | im] concatenated kernel — frames are
