@@ -225,6 +225,7 @@ def _kernel(
     pre_amp: str,
     floor_db: float,
     x3: bool,
+    use_gauss: bool,
     with_dct: bool,
     batch_classes: bool,
 ):
@@ -292,20 +293,25 @@ def _kernel(
         bims.append(y_re * tw_im + y_im * tw_re)
 
     def complex_power(a_re, a_im):
-        if x3:
-            # Accuracy tier: packed 4-mult complex product — one
-            # (·,256)@(256,256) dot. Gauss's T1−T2 cancellation doubles the
-            # error constant, which the bf16x3 tier is not allowed to pay
-            # (measured: 2.7e-6 → 3.7e-6 global rel on the mel sweep).
+        if not use_gauss:
+            # Packed 4-mult complex product — one (·,256)@(256,256) dot.
+            # Default for the bf16x3 accuracy tier: Gauss's T1−T2
+            # cancellation doubles the error constant, which that tier is
+            # not allowed to pay (measured: 2.7e-6 → 3.7e-6 global rel on
+            # the mel sweep).
             bb = jnp.concatenate([a_re, a_im], axis=1)
-            xx = dot3(bb, g_hi_ref[:], g_lo_ref[:])
+            xx = dot3(bb, g_hi_ref[:], g_lo_ref[:] if x3 else None)
             p, q = xx[:, :128], xx[:, 128:]
         else:
-            # Serving tier: Gauss 3-mult — 25 % fewer MXU MACs; the bf16
-            # input rounding (~2e-3 rel) dominates the Gauss constant anyway.
-            t1 = dot3(a_re + a_im, g_hi_ref[:, 0:128])
-            t2 = dot3(a_im, g_hi_ref[:, 128:256])
-            t3 = dot3(a_re, g_hi_ref[:, 256:384])
+            # Gauss 3-mult — 25 % fewer MXU MACs; in bf16 the input
+            # rounding (~2e-3 rel) dominates the Gauss constant anyway.
+            lo = g_lo_ref if x3 else None
+            t1 = dot3(a_re + a_im, g_hi_ref[:, 0:128],
+                      None if lo is None else lo[:, 0:128])
+            t2 = dot3(a_im, g_hi_ref[:, 128:256],
+                      None if lo is None else lo[:, 128:256])
+            t3 = dot3(a_re, g_hi_ref[:, 256:384],
+                      None if lo is None else lo[:, 256:384])
             p = t1 - t2
             q = t1 + t3
         return p * p + q * q
@@ -359,6 +365,9 @@ def fused_factored_features(
                                # None = auto (on for 1-pass bf16 — measured
                                # +13% serving throughput; off for bf16x3
                                # where the A/B is a wash, see KERNEL_AB.md)
+    gauss=None,                # complex outer product form: True = Gauss
+                               # 3-mult, False = packed 4-mult; None = auto
+                               # (per-precision policy, see KERNEL_AB.md)
 ):
     """Build the fused program: (B, n) f32 signal → (B, n_out, n_frames).
 
@@ -413,6 +422,7 @@ def fused_factored_features(
             # tile_frames= still overrides.
             tile_f = min(tile_f, 64)
     x3 = precision == "bf16x3"
+    use_gauss = (not x3) if gauss is None else bool(gauss)
     if batch_classes is None:
         # Measured on v5e (4-rep interleaved slope A/B, flagship MFCC shape):
         # 1-pass bf16 wins every rep with the large fused dots (0.205 vs
@@ -427,11 +437,11 @@ def fused_factored_features(
     ang = 2.0 * np.pi * np.outer(n1, n1) / 128.0
     C = np.cos(ang)
     Sp = np.sin(ang)
-    if x3:
-        # Accuracy tier: packed 4-mult complex outer constant.
+    if not use_gauss:
+        # Packed 4-mult complex outer constant.
         G = np.block([[C, -Sp], [Sp, C]]).astype(np.float32)  # (256, 256)
     else:
-        # Serving tier: Gauss 3-mult outer constants — X = (a+ib)·(C − iS')
+        # Gauss 3-mult outer constants — X = (a+ib)·(C − iS')
         # via T1=(a+b)@G1, T2=b@G2, T3=a@G3 → re=T1−T2, im=T1+T3.
         G = np.concatenate([C, C - Sp, -(C + Sp)], axis=1).astype(np.float32)
     g_hi, g_lo = _split_bf16(G)
@@ -525,6 +535,7 @@ def fused_factored_features(
         pre_amp=pre_amp,
         floor_db=float(floor_db),
         x3=x3,
+        use_gauss=use_gauss,
         with_dct=with_dct,
         batch_classes=bool(batch_classes),
     )
