@@ -107,3 +107,109 @@ def cqt_bin_frequencies(params: CqtParams, sample_rate: float) -> np.ndarray:
     """Center frequencies of the bins actually generated (below Nyquist)."""
     _, _, freqs = cqt_kernel_matrices(params, sample_rate, 1)
     return freqs
+
+
+def cqt_kernel_lengths(params: CqtParams, sample_rate: float, frame_length: int) -> np.ndarray:
+    """Clamped kernel length per generated bin (no kernel build)."""
+    lengths = []
+    for bin_idx in range(params.num_bins):
+        fc = params.bin_frequency(bin_idx)
+        if fc >= sample_rate / 2.0:
+            break
+        lengths.append(
+            max(1, min(int(np.round(params.q_factor * sample_rate / fc)), frame_length))
+        )
+    return np.asarray(lengths, dtype=np.int64)
+
+
+def _valid_support(s: int, n_fft: int, hop: int) -> bool:
+    """Can (n_frames, s) tail-frames be extracted without a gather?
+
+    Extraction slices the padded signal from the first tail onward, so only
+    the hop/support divisibility matters (see ``framing.tail_framed_matmul``):
+    ``s | hop`` gives strided row-slicing of one reshape, ``hop | s`` the
+    hopped-slice decomposition; ``s == n_fft`` is the full-frame path.
+    """
+    return s == n_fft or hop % s == 0 or s % hop == 0
+
+
+# Banded contraction default: OFF — measured 2.3× SLOWER than the dense
+# single matmul on v5e (0.805 vs 0.353 ms on the BASELINE config-4 CQT
+# batch, interleaved slope A/B). The dense CQT is *bandwidth*-bound
+# (224 MB of hopped-slice signal reads ≈ 0.27 ms at HBM speed vs 0.29 ms
+# of x3 MXU work): trimming structural-zero MACs with per-band matmuls
+# only ADDS signal reads, band padding, and output concatenation traffic.
+# The machinery stays (and is tested exact) for MAC-bound regimes — very
+# large filter counts or in-VMEM fusion. See docs/KERNEL_AB.md.
+CQT_BANDING = False
+
+
+def set_cqt_banding(enabled: bool) -> None:
+    """Opt into banded tail contraction (see ``CQT_BANDING`` note)."""
+    global CQT_BANDING
+    CQT_BANDING = bool(enabled)
+
+
+def plan_cqt_bands(lengths, n_fft: int, hop: int, max_bands: int = 4):
+    """Partition bins into tail-aligned support bands minimizing MXU cost.
+
+    CQT kernels are right-aligned and shrink with frequency, so high bins
+    only ever multiply the last ``S`` samples of each frame — the rest of
+    the dense kernel matrix is structural zeros burning MXU cycles. Bins
+    are contiguous in decreasing length; a band = contiguous bin range
+    sharing support ``S`` (the smallest power of two ≥ every length in the
+    band, ≥128, and extractable without a gather — :func:`_valid_support`).
+
+    MXU cost model: a (M, S) @ (S, 2·n_b) matmul costs ``S · ceil(2·n_b /
+    128)`` lane-tiles — small bands waste lanes, one big band wastes rows —
+    so an exact O(n²·B) DP picks the partition, with a per-band constant
+    (128·128) charging dispatch overhead. Returns ``[(start, stop, S)]``
+    over bin indices; a single ``(0, n, n_fft)`` band means "use the dense
+    path".
+    """
+    lengths = np.asarray(lengths)
+    n = int(lengths.shape[0])
+    if n == 0:
+        return [(0, 0, n_fft)]
+
+    def support(max_len: int) -> int:
+        s = 128
+        while s < max_len:
+            s *= 2
+        while s < n_fft and not _valid_support(s, n_fft, hop):
+            s *= 2
+        return min(s, n_fft)
+
+    per_band_const = 128 * 128
+
+    def band_cost(i: int, j: int) -> int:
+        s = support(int(lengths[i:j].max()))
+        return s * -(-2 * (j - i) // 128) * 128 + per_band_const
+
+    # DP over contiguous partitions with at most max_bands bands.
+    INF = float("inf")
+    best = [[INF] * (n + 1) for _ in range(max_bands + 1)]
+    choice = [[None] * (n + 1) for _ in range(max_bands + 1)]
+    best[0][0] = 0.0
+    for b in range(1, max_bands + 1):
+        for j in range(1, n + 1):
+            best[b][j] = best[b - 1][j]
+            choice[b][j] = choice[b - 1][j]
+            for i in range(j):
+                if best[b - 1][i] == INF:
+                    continue
+                c = best[b - 1][i] + band_cost(i, j)
+                if c < best[b][j]:
+                    best[b][j] = c
+                    choice[b][j] = (b - 1, i)
+    bands = []
+    b, j = max_bands, n
+    while j > 0:
+        prev = choice[b][j]
+        if prev is None:  # pragma: no cover - defensive
+            return [(0, n, n_fft)]
+        pb, i = prev
+        bands.append((i, j, support(int(lengths[i:j].max()))))
+        b, j = pb, i
+    bands.reverse()
+    return bands

@@ -27,6 +27,7 @@ __all__ = [
     "pad_amounts",
     "frame_signal",
     "framed_matmul",
+    "tail_framed_matmul",
     "frame_start_sample",
 ]
 
@@ -150,4 +151,44 @@ def framed_matmul(x, mat, n_fft: int, hop_size: int, centre: bool = True,
             out = part if out is None else out + part
         return out.astype(jnp.promote_types(x.dtype, mat.dtype))
     frames = frame_signal(x, n_fft, hop_size, centre)
+    return jnp.matmul(frames, mat, precision=precision)
+
+
+def tail_framed_matmul(x, mat, n_fft: int, hop_size: int, s: int,
+                       centre: bool = True, precision=None):
+    """``frame_signal(x, n_fft, hop, centre)[…, n_fft−s:] @ mat``.
+
+    Contract only the last ``s`` samples of every frame against ``mat``
+    ((s, n_out)) — the banded-CQT primitive: right-aligned kernels shorter
+    than the frame make the leading columns structural zeros, and skipping
+    them skips real MXU cycles. Framing (count, padding) is that of the
+    FULL ``n_fft`` frames; only the contraction is narrowed.
+
+    Gather-free for ``hop % s == 0`` (strided row-slices of one reshape,
+    incl. the ``s == hop`` contiguous case) and ``s % hop == 0`` (the
+    hopped-slice decomposition on the tail-shifted signal); other shapes
+    fall back to a gather.
+    """
+    if s == n_fft:
+        return framed_matmul(x, mat, n_fft, hop_size, centre, precision)
+    if not (0 < s < n_fft):
+        raise InvalidInputError(f"support must be in (0, n_fft], got {s}")
+    n = x.shape[-1]
+    left, right, n_frames = pad_amounts(n, n_fft, hop_size, centre)
+    off = n_fft - s
+    end = off + (n_frames - 1) * hop_size + s
+    extra = max(0, end - (n + left + right))
+    pad_widths = [(0, 0)] * (x.ndim - 1) + [(left, right + extra)]
+    xp = jnp.pad(x, pad_widths)
+    y = xp[..., off:end]  # first frame's tail starts at y[0]
+    if s % hop_size == 0 and s > hop_size:
+        return framed_matmul(y, mat, s, hop_size, centre=False,
+                             precision=precision)
+    if hop_size % s == 0:
+        step = hop_size // s
+        rows = (n_frames - 1) * step + 1
+        base = jnp.reshape(y, y.shape[:-1] + (rows, s))
+        frames = base[..., ::step, :] if step > 1 else base
+        return jnp.matmul(frames, mat, precision=precision)
+    frames = frame_signal(y, s, hop_size, centre=False)
     return jnp.matmul(frames, mat, precision=precision)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["overlap_add"]
+__all__ = ["overlap_add", "ola_matmul"]
 
 
 def overlap_add(frames, hop: int):
@@ -39,3 +39,37 @@ def overlap_add(frames, hop: int):
     return (
         jnp.zeros(out_len, dtype=frames.dtype).at[idx.ravel()].add(frames.ravel())
     )
+
+
+def ola_matmul(coeffs_t, mat, hop: int, precision=None):
+    """``overlap_add(coeffs_t @ mat, hop)`` without materializing the frames.
+
+    The synthesis frames of an inverse lapped transform exist only to be
+    overlap-added — writing the (n_frames, n_fft) frame matrix to HBM and
+    re-reading it for OLA is pure wasted bandwidth. Output hop-block ``b``
+    is ``Σ_j coeffs_t[b−j] @ mat[:, j·hop:(j+1)·hop]``: ``k = n_fft//hop``
+    matmuls against row-shifted views of the (zero-row-padded) coefficient
+    matrix, summed — the exact transpose of ``framing.framed_matmul``'s
+    hopped-slice decomposition. Requires ``hop | n_fft`` (``mat`` is
+    (n_coef, n_fft)); callers fall back to ``coeffs_t @ mat`` + plain
+    :func:`overlap_add` otherwise. Accumulates at ≥f32 like one dot.
+    """
+    nf, _ = coeffs_t.shape
+    n_fft = mat.shape[1]
+    k = n_fft // hop
+    n_blocks = nf + k - 1
+    out_len = (nf - 1) * hop + n_fft
+    cpad = jnp.pad(coeffs_t, ((k - 1, k - 1), (0, 0)))
+    acc_dtype = jnp.promote_types(coeffs_t.dtype, jnp.float32)
+    out = None
+    for j in range(k):
+        # block b collects frame f = b − j  ⇒  cpad row (k−1) − j + b
+        part = jnp.matmul(
+            cpad[(k - 1) - j : (k - 1) - j + n_blocks, :],
+            mat[:, j * hop : (j + 1) * hop],
+            precision=precision,
+            preferred_element_type=acc_dtype,
+        )
+        out = part if out is None else out + part
+    out = out.astype(jnp.promote_types(coeffs_t.dtype, mat.dtype))
+    return out.reshape(-1)[:out_len]

@@ -358,6 +358,40 @@ class SpectrogramPlan:
             self._cqt_ri = jnp.asarray(
                 np.concatenate([k_re.T, k_im.T], axis=1).astype(self._dtype)
             )
+            # Banded contraction (opt-in, default OFF): kernels are
+            # right-aligned and shrink geometrically with frequency, so high
+            # bins only touch the frame tail — but the dense matmul is
+            # bandwidth-bound on v5e and banding measured 2.3× slower
+            # (see ops/cqt.py::CQT_BANDING and docs/KERNEL_AB.md).
+            from .ops import cqt as _cqt_mod
+            from .ops.cqt import cqt_kernel_lengths, plan_cqt_bands
+
+            bands = (
+                plan_cqt_bands(cqt_kernel_lengths(scale_params, sr, n_fft),
+                               n_fft, hop)
+                if _cqt_mod.CQT_BANDING
+                else [(0, self._cqt_n_out, n_fft)]
+            )
+            if len(bands) > 1:
+                self._cqt_bands = [
+                    (
+                        start,
+                        stop,
+                        s,
+                        jnp.asarray(
+                            np.concatenate(
+                                [
+                                    k_re[start:stop, n_fft - s :].T,
+                                    k_im[start:stop, n_fft - s :].T,
+                                ],
+                                axis=1,
+                            ).astype(self._dtype)
+                        ),
+                    )
+                    for start, stop, s in bands
+                ]
+            else:
+                self._cqt_bands = None
         else:  # pragma: no cover
             raise InvalidInputError(f"unknown freq scale {freq_scale}")
 
@@ -526,9 +560,24 @@ class SpectrogramPlan:
         if self.freq_scale == FreqScale.CQT:
             # Unwindowed frames: kernels carry their own window. Single
             # matmul against the [re | im] concatenated kernel — frames are
-            # read from HBM once instead of twice.
-            ri = jnp.matmul(frames, self._cqt_ri, precision=self.precision)
-            mapped = self._cqt_power(ri)
+            # read from HBM once instead of twice. Banded plans contract
+            # each bin band against only its frame tail.
+            if self._cqt_bands is not None:
+                n_fft = self._n_fft
+                mapped = jnp.concatenate(
+                    [
+                        self._cqt_power(
+                            jnp.matmul(frames[..., n_fft - s :], k_ri,
+                                       precision=self.precision),
+                            stop - start,
+                        )
+                        for start, stop, s, k_ri in self._cqt_bands
+                    ],
+                    axis=-1,
+                )
+            else:
+                ri = jnp.matmul(frames, self._cqt_ri, precision=self.precision)
+                mapped = self._cqt_power(ri)
         else:
             if self.method == "factored":
                 power = self._factored.power(frames)
@@ -546,8 +595,8 @@ class SpectrogramPlan:
                 mapped = jnp.matmul(power, self._mapping_t, precision=self.precision)
         return _apply_amp(mapped, self.amp_scale, self._floor_db, dt)
 
-    def _cqt_power(self, ri):
-        n_out = self._cqt_n_out
+    def _cqt_power(self, ri, n_out=None):
+        n_out = self._cqt_n_out if n_out is None else n_out
         re, im = ri[..., :n_out], ri[..., n_out:]
         return re * re + im * im
 
@@ -557,9 +606,27 @@ class SpectrogramPlan:
             # Hopped-slice decomposition (ops/framing.framed_matmul): the
             # (n_frames, n_fft) frame matrix — the dominant HBM traffic of
             # the dense CQT matmul at batch scale — is never materialized.
-            ri = framed_matmul(x, self._cqt_ri, self._n_fft, self._hop,
-                               self._centre, precision=self.precision)
-            mapped = self._cqt_power(ri)
+            # Banded plans additionally contract each bin band against only
+            # its frame tail (ops/framing.tail_framed_matmul).
+            if self._cqt_bands is not None:
+                from .ops.framing import tail_framed_matmul
+
+                mapped = jnp.concatenate(
+                    [
+                        self._cqt_power(
+                            tail_framed_matmul(x, k_ri, self._n_fft,
+                                               self._hop, s, self._centre,
+                                               precision=self.precision),
+                            stop - start,
+                        )
+                        for start, stop, s, k_ri in self._cqt_bands
+                    ],
+                    axis=-1,
+                )
+            else:
+                ri = framed_matmul(x, self._cqt_ri, self._n_fft, self._hop,
+                                   self._centre, precision=self.precision)
+                mapped = self._cqt_power(ri)
             return _apply_amp(mapped, self.amp_scale, self._floor_db, dt).T
         if self.method == "matmul":
             # Same decomposition for the windowed rDFT (window is folded into

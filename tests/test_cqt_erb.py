@@ -178,3 +178,58 @@ def test_gammatone_parallel_matches_scan():
     np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-12)
     with pytest.raises(sg.InvalidInputError):
         gammatone_iir_spectrogram(x, 8000.0, 512, 256, p, method="bogus")
+
+
+@pytest.mark.parametrize("n_fft,hop", [(4096, 1024), (4096, 512), (2048, 1024), (4096, 1000)])
+def test_cqt_banded_matches_dense(n_fft, hop):
+    """Banded tail contraction (right-aligned kernels touch only the frame
+    tail) is the same transform as the dense kernel matmul."""
+    from spectrograms_tpu.pipeline import AmpScale, FreqScale, SpectrogramPlan
+
+    rng = np.random.default_rng(5)
+    sr = 44100.0
+    x = rng.standard_normal(int(sr))
+    params = sg.SpectrogramParams(sg.StftParams(n_fft, hop), sr)
+    import warnings
+
+    with warnings.catch_warnings():
+        # the truncation warning fires only on the first (uncached) kernel
+        # build for a given shape — not under test here
+        warnings.simplefilter("ignore", UserWarning)
+        plan = SpectrogramPlan(
+            params, FreqScale.CQT, AmpScale.POWER,
+            scale_params=sg.CqtParams(12, 7, 32.703), dtype="float64",
+        )
+    banded = np.asarray(plan._forward_impl(x))
+    plan._cqt_bands = None  # force the dense single-matmul path
+    dense = np.asarray(plan._forward_impl(x))
+    np.testing.assert_allclose(banded, dense, rtol=1e-12, atol=1e-14)
+
+
+def test_plan_cqt_bands_cost_model():
+    from spectrograms_tpu.ops.cqt import cqt_kernel_lengths, plan_cqt_bands
+
+    lengths = cqt_kernel_lengths(sg.CqtParams(12, 7, 32.703), 44100.0, 4096)
+    bands = plan_cqt_bands(lengths, 4096, 1024)
+    # contiguous cover, supports non-increasing and valid
+    assert bands[0][0] == 0 and bands[-1][1] == len(lengths)
+    for (a, b, s), (a2, b2, s2) in zip(bands, bands[1:]):
+        assert b == a2 and s >= s2
+    for a, b, s in bands:
+        assert s >= int(lengths[a:b].max())
+    # irregular hop → no gather-free support → single dense band
+    assert plan_cqt_bands(lengths, 4096, 1000) == [(0, len(lengths), 4096)]
+
+
+def test_tail_framed_matmul_matches_slice():
+    from spectrograms_tpu.ops.framing import frame_signal, tail_framed_matmul
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(5000)
+    for n_fft, hop, s in [(1024, 256, 256), (1024, 256, 512), (1024, 512, 128),
+                          (1024, 1024, 256), (512, 160, 128), (1024, 256, 1024)]:
+        mat = rng.standard_normal((s, 7))
+        frames = np.asarray(frame_signal(x, n_fft, hop, True))
+        want = frames[:, n_fft - s:] @ mat
+        got = np.asarray(tail_framed_matmul(x, mat, n_fft, hop, s, True))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)

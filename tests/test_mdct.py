@@ -134,3 +134,42 @@ def test_vorbis_window_perfect_reconstruction():
     coefs = sg.mdct(x, params, dtype="float64")
     x_rec = np.asarray(sg.imdct(coefs, params, original_length=len(x)))
     np.testing.assert_allclose(x_rec[two_n:-two_n], x[two_n : len(x_rec) - two_n], atol=1e-9)
+
+
+@pytest.mark.parametrize("two_n,hop", [(512, 256), (512, 128), (16, 8), (64, 48), (512, 100)])
+def test_folded_matches_dense(two_n, hop):
+    """The TDAC-folded DCT-IV lowering (half the matmul MACs) is the same
+    transform as the dense (2N x N) basis, to f64 roundoff."""
+    base = sg.MdctParams.sine_window(two_n)
+    params = sg.MdctParams(two_n, hop, base.window)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(4000 if two_n > 64 else 300)
+    c_dense = np.asarray(sg.mdct(x, params, dtype="float64", method="matmul"))
+    c_fold = np.asarray(sg.mdct(x, params, dtype="float64", method="folded"))
+    np.testing.assert_allclose(c_fold, c_dense, atol=1e-10)
+    y_dense = np.asarray(sg.imdct(c_dense, params, dtype="float64", method="matmul"))
+    y_fold = np.asarray(sg.imdct(c_dense, params, dtype="float64", method="folded"))
+    np.testing.assert_allclose(y_fold, y_dense, atol=1e-10)
+
+
+def test_folded_method_validation():
+    params = sg.MdctParams(6, 3)  # 2N not a multiple of 4
+    x = np.random.default_rng(0).standard_normal(64)
+    with pytest.raises(sg.InvalidInputError):
+        sg.mdct(x, params, dtype="float64", method="folded")
+    # auto falls back to the dense basis and still works
+    c = sg.mdct(x, params, dtype="float64")
+    assert c.shape[0] == 3
+
+
+def test_ola_matmul_matches_overlap_add():
+    from spectrograms_tpu.ops.ola import ola_matmul, overlap_add
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    for nf, n_fft, hop in [(7, 512, 256), (1, 512, 256), (9, 512, 128), (5, 16, 4)]:
+        c = rng.standard_normal((nf, 5))
+        m = rng.standard_normal((5, n_fft))
+        want = np.asarray(overlap_add(jnp.asarray(c @ m), hop))
+        got = np.asarray(ola_matmul(jnp.asarray(c), jnp.asarray(m), hop))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
