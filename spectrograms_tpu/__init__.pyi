@@ -2661,19 +2661,19 @@ def gammatone_iir_spectrogram(samples, sample_rate, frame_size, hop_size, erb_pa
     """
     ...
 
-def mdct(samples, params, dtype = None, precision = None):
+def mdct(samples, params, dtype = None, precision = None, method = 'auto'):
     """MDCT coefficients, shape (N, n_frames)."""
     ...
 
-def imdct(coefficients, params, original_length = None, dtype = None, precision = None):
+def imdct(coefficients, params, original_length = None, dtype = None, precision = None, method = 'auto'):
     """Inverse MDCT via synthesis-windowed overlap-add."""
     ...
 
-def compute_mdct(samples, params, dtype = None, precision = None):
+def compute_mdct(samples, params, dtype = None, precision = None, method = 'auto'):
     """MDCT coefficients, shape (N, n_frames)."""
     ...
 
-def compute_imdct(coefficients, params, original_length = None, dtype = None, precision = None):
+def compute_imdct(coefficients, params, original_length = None, dtype = None, precision = None, method = 'auto'):
     """Inverse MDCT via synthesis-windowed overlap-add."""
     ...
 
