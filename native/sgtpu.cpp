@@ -304,6 +304,100 @@ SG_API int sg_wav_write(const char* path, const float* data, int64_t n_frames,
   return -1;
 }
 
+// Decodes up to `cap` mono frames of a WAV file *directly into* `dst`
+// (downmixing interleaved channels on the fly) and zeroes dst[len..cap).
+// Unlike sg_wav_read this never materializes the full file: it reads only
+// the bytes that can influence the kept window (a 1-hour clip truncated to
+// 10 s costs 10 s of IO), and the decode loop writes the final row in
+// place — the batch loader's zero-staging-copy path. Returns the number of
+// real samples written (>= 0), or -1 on error. *sample_rate gets the
+// decoded rate.
+SG_API int64_t sg_wav_decode_into(const char* path, float* dst, int64_t cap,
+                                  int32_t* sample_rate) try {
+  if (cap < 0) {
+    set_error("cap must be >= 0");
+    return -1;
+  }
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    set_error(std::string("cannot open ") + path);
+    return -1;
+  }
+  WavInfo info;
+  if (!parse_wav_header(f, &info)) {
+    fclose(f);
+    return -1;
+  }
+  const uint16_t bytes_per = info.bits / 8;
+  if (bytes_per == 0 ||
+      (info.format == 1 && info.bits != 8 && info.bits != 16 && info.bits != 24 && info.bits != 32) ||
+      (info.format == 3 && info.bits != 32 && info.bits != 64)) {
+    set_error("unsupported bit depth " + std::to_string(info.bits));
+    fclose(f);
+    return -1;
+  }
+  const uint64_t frames_in_file =
+      info.data_bytes / bytes_per / info.channels;
+  const uint64_t keep =
+      std::min<uint64_t>(frames_in_file, static_cast<uint64_t>(cap));
+  const size_t need_bytes =
+      static_cast<size_t>(keep) * info.channels * bytes_per;
+
+  std::vector<uint8_t> raw(need_bytes);
+  fseek(f, static_cast<long>(info.data_offset), SEEK_SET);
+  if (!read_exact(f, raw.data(), need_bytes)) {
+    set_error("truncated data chunk");
+    fclose(f);
+    return -1;
+  }
+  fclose(f);
+
+  const uint8_t* p = raw.data();
+  const uint64_t ch = info.channels;
+  if (ch == 1 && info.format == 1 && info.bits == 16) {
+    constexpr float kInv = 1.0f / 32768.0f;
+    for (uint64_t i = 0; i < keep; ++i) {
+      int16_t v;
+      memcpy(&v, p + 2 * i, 2);
+      dst[i] = v * kInv;
+    }
+  } else if (ch == 1 && info.format == 3 && info.bits == 32) {
+    memcpy(dst, p, keep * sizeof(float));
+  } else if (info.format == 1 && info.bits == 16) {
+    // Interleaved PCM16 multichannel: branch-free downmix.
+    const float inv = 1.0f / (32768.0f * static_cast<float>(ch));
+    for (uint64_t i = 0; i < keep; ++i) {
+      int32_t acc = 0;
+      for (uint64_t c = 0; c < ch; ++c) {
+        int16_t v;
+        memcpy(&v, p + 2 * (i * ch + c), 2);
+        acc += v;
+      }
+      dst[i] = acc * inv;
+    }
+  } else {
+    const float inv_ch = 1.0f / static_cast<float>(ch);
+    for (uint64_t i = 0; i < keep; ++i) {
+      float acc = 0.0f;
+      for (uint64_t c = 0; c < ch; ++c) {
+        acc += decode_sample(p + (i * ch + c) * bytes_per, info.format, info.bits);
+      }
+      dst[i] = acc * inv_ch;
+    }
+  }
+  if (static_cast<int64_t>(keep) < cap) {
+    memset(dst + keep, 0,
+           static_cast<size_t>(cap - static_cast<int64_t>(keep)) * sizeof(float));
+  }
+  if (sample_rate != nullptr) {
+    *sample_rate = static_cast<int32_t>(info.sample_rate);
+  }
+  return static_cast<int64_t>(keep);
+} catch (const std::exception& e) {
+  set_error(std::string("wav decode_into failed: ") + e.what());
+  return -1;
+}
+
 // ---------------------------------------------------------------------------
 // Streaming ring-buffer framer
 // ---------------------------------------------------------------------------
@@ -508,72 +602,50 @@ void loader_worker(Loader* L) try {
     const int64_t bi = static_cast<int64_t>(idx) / L->batch;
     const int64_t row = static_cast<int64_t>(idx) % L->batch;
 
-    // Decode with no lock held.
-    float* data = nullptr;
-    int64_t frames = 0;
-    int32_t channels = 0, sr = 0;
-    std::vector<float> downmix;
-    const float* src = nullptr;
-    int rc = sg_wav_read(L->paths[idx].c_str(), &data, &frames, &channels, &sr);
-    if (rc == 0) {
-      if (channels == 1) {
-        src = data;  // use the decode buffer directly — no extra copy
-      } else {
-        downmix.resize(static_cast<size_t>(frames));
-        for (int64_t i = 0; i < frames; ++i) {
-          float acc = 0.0f;
-          for (int32_t c = 0; c < channels; ++c) acc += data[i * channels + c];
-          downmix[static_cast<size_t>(i)] = acc / static_cast<float>(channels);
-        }
-        src = downmix.data();
-        // Release the interleaved buffer before any backpressure wait — a
-        // blocked worker should pin frames floats, not frames*(channels+1).
-        sg_free(data);
-        data = nullptr;
-      }
-    }
-
     LoaderSlot* slot = nullptr;
     {
       std::unique_lock<std::mutex> lk(L->mu);
       L->cv_put.wait(lk, [L, bi] {
         // Admission needs the window AND the target ring slot free of any
-        // consumer still copying its previous occupant out.
+        // consumer still holding (borrowing or copying) its previous
+        // occupant.
         return L->closed ||
                (bi < L->next_consume + static_cast<int64_t>(L->prefetch) &&
                 !L->ring[static_cast<size_t>(
                              bi % static_cast<int64_t>(L->prefetch))]
                      .busy);
       });
-      if (L->closed) {
-        if (data != nullptr) sg_free(data);
-        break;
-      }
+      if (L->closed) break;
       LoaderSlot& s = L->ring[static_cast<size_t>(bi % static_cast<int64_t>(L->prefetch))];
       if (s.batch_id != bi) init_slot_locked(L, s, bi);
       slot = &s;
-      if (rc != 0 && L->error.empty()) {
-        L->error = "failed to read " + L->paths[idx];
-      }
     }
 
-    // Write this file's row without the lock: rows are disjoint and the slot
-    // cannot be recycled until `ready` (set only after every row is done).
+    // Decode *directly into* this file's slot row without the lock: rows
+    // are disjoint and the slot cannot be recycled until `ready` (set only
+    // after every row is done). sg_wav_decode_into reads only the bytes
+    // that fit the row and zeroes the tail — the full-file staging buffer,
+    // downmix buffer, and row memcpy of the previous design are all gone.
     float* dst = slot->data.data() + row * L->target_len;
-    const int64_t len =
-        rc == 0 ? std::min<int64_t>(frames, L->target_len) : 0;
-    if (len > 0) memcpy(dst, src, static_cast<size_t>(len) * sizeof(float));
-    memset(dst + len, 0,
-           static_cast<size_t>(L->target_len - len) * sizeof(float));
-    if (data != nullptr) sg_free(data);
+    int32_t sr = 0;
+    int64_t len = sg_wav_decode_into(L->paths[idx].c_str(), dst,
+                                     L->target_len, &sr);
+    const bool ok = len >= 0;
+    if (!ok) {
+      memset(dst, 0, static_cast<size_t>(L->target_len) * sizeof(float));
+      len = 0;
+    }
 
     {
       std::lock_guard<std::mutex> lk(L->mu);
+      if (!ok && L->error.empty()) {
+        L->error = "failed to read " + L->paths[idx];
+      }
       slot->lengths[static_cast<size_t>(row)] = len;
-      slot->srs[static_cast<size_t>(row)] = rc == 0 ? sr : 0;
+      slot->srs[static_cast<size_t>(row)] = ok ? sr : 0;
       slot->path_idx[static_cast<size_t>(row)] =
-          rc == 0 ? static_cast<int64_t>(idx) : -1;
-      if (rc == 0) slot->n_items++;
+          ok ? static_cast<int64_t>(idx) : -1;
+      if (ok) slot->n_items++;
       if (--slot->remaining == 0) {
         slot->ready = true;
         L->cv_get.notify_all();
@@ -687,6 +759,69 @@ SG_API int64_t sg_loader_next(void* h, float* out_data, int64_t* out_lengths,
 } catch (const std::exception& e) {
   set_error(std::string("loader next failed: ") + e.what());
   return -1;
+}
+
+// Zero-copy consumer: borrows the next ready slot's buffers instead of
+// copying them out. On success (*out_token = slot index) the pointers stay
+// valid — and the slot is excluded from recycling — until
+// sg_loader_release(h, token). Returns the number of real items (> 0),
+// 0 at end of data, -1 on error. The data row for item i is
+// data[i*target_len .. (i+1)*target_len); rows are writable (the Python
+// rate-policy layer edits resampled rows in place before device upload).
+SG_API int64_t sg_loader_acquire(void* h, int64_t* out_token, float** out_data,
+                                 int64_t** out_lengths, int32_t** out_srs,
+                                 int64_t** out_path_idx) try {
+  Loader* L = static_cast<Loader*>(h);
+  std::unique_lock<std::mutex> lk(L->mu);
+  for (;;) {
+    if (L->next_consume >= L->n_batches) {
+      if (!L->error.empty()) {
+        set_error(L->error);
+        return -1;
+      }
+      return 0;
+    }
+    const int64_t want = L->next_consume;
+    LoaderSlot& s =
+        L->ring[static_cast<size_t>(want % static_cast<int64_t>(L->prefetch))];
+    L->cv_get.wait(lk, [L, &s, want] {
+      return L->closed || L->next_consume != want ||
+             (s.batch_id == want && s.ready);
+    });
+    if (L->next_consume != want) continue;
+    if (L->closed && !(s.batch_id == want && s.ready)) {
+      set_error(L->error.empty() ? "loader closed" : L->error);
+      return -1;
+    }
+    if (s.n_items == 0) {  // every file in this batch failed — skip it
+      L->next_consume++;
+      L->cv_put.notify_all();
+      L->cv_get.notify_all();
+      continue;
+    }
+    s.busy = true;  // workers cannot recycle a borrowed slot
+    L->next_consume++;
+    L->cv_get.notify_all();
+    *out_token = want % static_cast<int64_t>(L->prefetch);
+    *out_data = s.data.data();
+    *out_lengths = s.lengths.data();
+    if (out_srs != nullptr) *out_srs = s.srs.data();
+    if (out_path_idx != nullptr) *out_path_idx = s.path_idx.data();
+    return s.n_items;
+  }
+} catch (const std::exception& e) {
+  set_error(std::string("loader acquire failed: ") + e.what());
+  return -1;
+}
+
+// Returns a slot borrowed with sg_loader_acquire to the ring.
+SG_API void sg_loader_release(void* h, int64_t token) {
+  Loader* L = static_cast<Loader*>(h);
+  std::lock_guard<std::mutex> lk(L->mu);
+  if (token >= 0 && token < static_cast<int64_t>(L->prefetch)) {
+    L->ring[static_cast<size_t>(token)].busy = false;
+    L->cv_put.notify_all();
+  }
 }
 
 // ---------------------------------------------------------------------------

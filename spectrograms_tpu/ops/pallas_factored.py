@@ -30,8 +30,7 @@ a true FFT):
   classes cuts the VPU work from ~classes·2r to ~r·log₂r vector ops, and
   exposes that classes 0 and r/2 are exactly real;
 - the two real classes skip the VPU twiddle entirely (it is folded into a
-  per-class outer constant) and need only ONE (tile,128)@(128,256) MXU dot
-  each — 2·128² MACs vs the 4·128² of the packed complex form;
+  per-class outer constant);
 - in the 1-pass bf16 serving tier, the complex classes (1..r/2−1) multiply
   by the outer DFT matrix with the 3-multiplication Gauss complex product
   (T1=(A+B)@C, T2=B@(C−S'), T3=A@(−C−S') → re=T1−T2, im=T1+T3) — 3·128²
@@ -40,6 +39,21 @@ a true FFT):
   (measured 2.7e-6 → 3.7e-6 global rel on the mel sweep), which the
   accuracy tier is not allowed to pay; in bf16 the input rounding (~2e-3)
   dominates it, so the serving tier takes the MAC cut for free.
+
+Round-3 ``column_prune`` experiment (opt-in, default OFF — measured
+slower): the hypothesis was that MXU cost is M·⌈K/128⌉·⌈N/128⌉
+*tile-passes* per dot, so (a) Hermitian-in-k₁ packing of the two real
+classes (class 0's spectrum over k₁ is itself Hermitian, class r/2's is a
+half-bin-shifted DFT conjugate-symmetric about 63.5 — each fits one
+(·,128)@(128,128) dot emitting raw squares the mapping rows pair up) and
+(b) pruning the k₁ columns no filterbank row reads (chroma's f_max=4186 Hz
+needs 25 of 128) should cut passes ~2×. Both are *exact* (1.7e-7 max rel
+vs the full layouts) but measured SLOWER on v5e (chroma-4096 0.43→0.99 ms,
+MFCC-1024 0.36→0.43 ms, same-run slope A/B): the kernel is not
+MXU-tile-bound, and the narrower dots introduce sub-128 lane slices and
+relayouts that cost more than the trimmed tiles — the same lesson as the
+banded-CQT/folded-MDCT MAC trims (docs/KERNEL_AB.md). Retained behind
+``column_prune=True`` for genuinely MAC-bound regimes.
 
 Per-frame MXU MACs at n_fft=1024/mel-128, bf16 tier: (2·2 + 3·3)·128²
 (DFT) + 640·128 (mel) ≈ 0.30M; bf16x3 tier: (2·2 + 3·4)·128² + mel ≈
@@ -197,20 +211,36 @@ def _real_fft_classes(xs):
     return out
 
 
+def _needed_complex_k1(fb: np.ndarray, r: int):
+    """Sorted k₁ values any complex class needs, given the mapping's nonzero
+    natural-bin columns (mirrored slots included). None ⇒ all 128 needed."""
+    nz = np.nonzero(np.any(fb != 0.0, axis=0))[0]
+    ks = set()
+    for k in nz:
+        c, k1 = int(k) % r, int(k) // r
+        if c > r // 2:
+            c, k1 = r - c, 127 - k1
+        if 0 < c < r // 2:
+            ks.add(k1)
+        if len(ks) > 64:
+            return None
+    return sorted(ks)
+
+
 def _kernel(
     # inputs (halo mode: xa/xb signal rows; frames mode: xa = frame tile)
     xa_ref,
     xb_ref,
     g_hi_ref,       # bf16 complex-class outer constants hi: (128, 384)
                     # [G1|G2|G3] Gauss in bf16 mode, (256, 256) packed
-                    # [[C,−S'],[S',C]] in bf16x3 mode
+                    # [[C,−S'],[S',C]] in bf16x3 mode, (256, 128) truncated
     g_lo_ref,       # same shape lo (dummy (8,128) in bf16 mode)
     win_ref,        # (1, n_fft) f32 analysis window
     tw_ref,         # (classes_pad, 256) f32 packed twiddle [re | im]
-    rw_ref,         # (256, 256) bf16 real-class outer dots hi: rows 0:128 =
-                    # class 0 [C|−S], rows 128:256 = class r/2 (twiddle folded)
-    rw_lo_ref,      # (256, 256) bf16 lo (dummy in bf16 mode)
-    map_ref,        # (classes*128, n_out_pad) f32 folded filterbank
+    rw_ref,         # real-class outer dots hi (bf16): (256, 256) legacy
+                    # [C|−S] per class, or (256, 128) Hermitian-packed
+    rw_lo_ref,      # same shape lo (dummy in bf16 mode)
+    map_ref,        # (p_width, n_out_pad) f32 folded filterbank
     dct_ref,        # (n_out_pad, dct_pad) f32 (dummy when no dct)
     out_ref,        # (1, tile_f, out_cols) f32
     fr_ref,         # scratch (tile_f, n_fft) f32 frame tile (halo mode)
@@ -228,6 +258,9 @@ def _kernel(
     use_gauss: bool,
     with_dct: bool,
     batch_classes: bool,
+    raw_real: bool,     # real classes: 1-pass Hermitian packing, raw squares
+    trunc: bool,        # complex classes: needed-k₁ column-pruned constant
+    raw_cplx: bool,     # truncated complex emit raw squares (map pairs them)
 ):
     def dot3(a, b, b_lo=None):
         # Mosaic lowers f32 dots to a single bf16 MXU pass; in x3 mode do the
@@ -270,17 +303,21 @@ def _kernel(
     ps = [None] * classes
 
     # Real classes (0 and r/2): inner output exactly real, twiddle folded
-    # into the per-class outer constant — one (tile,128)@(128,256) dot each.
+    # into the per-class outer constant.
     for slot, c in enumerate((0, r // 2)):
         y_re, y_im = ys[c]
         sl = slice(slot * 128, (slot + 1) * 128)
         # (the lo refs are (8,128) dummies in bf16 mode — don't slice them)
         xx = dot3(y_re, rw_ref[sl, :], rw_lo_ref[sl, :] if x3 else None)
-        ps[c] = xx[:, :128] * xx[:, :128] + xx[:, 128:] * xx[:, 128:]
+        if raw_real:
+            # One (·,128)@(128,128) dot: Hermitian-in-k₁ packing. Emit the
+            # raw squares; the host-folded map rows sum each bin's re²+im²
+            # pair (and read k₁ > 64 conjugates from the packed low half).
+            ps[c] = xx * xx
+        else:
+            ps[c] = xx[:, :128] * xx[:, :128] + xx[:, 128:] * xx[:, 128:]
 
-    # Complex classes (1..r/2−1): VPU twiddle, then the Gauss 3-mult outer
-    # product re=T1−T2, im=T1+T3 with shared constants
-    # G1=C, G2=C−S', G3=−(C+S')  (C[n,k]=cos2πnk/128, S'[n,k]=sin2πnk/128).
+    # Complex classes (1..r/2−1): VPU twiddle, then the outer MXU dot.
     ccs = [c for c in range(1, r // 2)]
     bres, bims = [], []
     for c in ccs:
@@ -293,6 +330,15 @@ def _kernel(
         bims.append(y_re * tw_im + y_im * tw_re)
 
     def complex_power(a_re, a_im):
+        if trunc:
+            # Column-pruned packed dot: (·,256)@(256,128) — the constant
+            # keeps only the k₁ columns some mapping row actually reads
+            # ([re·64 | im·64], unused columns zero).
+            bb = jnp.concatenate([a_re, a_im], axis=1)
+            xx = dot3(bb, g_hi_ref[:], g_lo_ref[:] if x3 else None)
+            if raw_cplx:
+                return xx * xx          # map rows pair re²+im²
+            return xx[:, :64] * xx[:, :64] + xx[:, 64:] * xx[:, 64:]
         if not use_gauss:
             # Packed 4-mult complex product — one (·,256)@(256,256) dot.
             # Default for the bf16x3 accuracy tier: Gauss's T1−T2
@@ -328,10 +374,11 @@ def _kernel(
         for i, c in enumerate(ccs):
             ps[c] = complex_power(bres[i], bims[i])
 
-    P = jnp.concatenate(ps, axis=1)  # (tile_f, classes·128)
+    P = jnp.concatenate(ps, axis=1)  # (tile_f, Σ class block widths)
     if pre_amp == "magnitude":
         # e.g. chroma: the filterbank consumes |X|, not |X|² — the sqrt
-        # must precede the matmul (chroma.rs:365-403).
+        # must precede the matmul (chroma.rs:365-403). raw_* modes are
+        # disabled on this path (their blocks hold squares, not powers).
         P = jnp.sqrt(P)
     feat = dot3(P, map_ref[:])
 
@@ -368,6 +415,16 @@ def fused_factored_features(
     gauss=None,                # complex outer product form: True = Gauss
                                # 3-mult, False = packed 4-mult; None = auto
                                # (per-precision policy, see KERNEL_AB.md)
+    column_prune=False,        # needed-k₁ pruning + 1-pass real classes.
+                               # Exact (max 1.7e-7 rel vs the full layouts)
+                               # but measured SLOWER on v5e — chroma-4096
+                               # 0.43→0.99 ms, MFCC-1024 0.36→0.43 ms
+                               # (same-run slope A/B): the kernel is not
+                               # MXU-tile-bound, and the narrower dots add
+                               # sub-128 lane slices / relayouts that cost
+                               # more than the trimmed tiles. Kept as an
+                               # opt-in for MAC-bound regimes; see
+                               # docs/KERNEL_AB.md.
 ):
     """Build the fused program: (B, n) f32 signal → (B, n_out, n_frames).
 
@@ -422,7 +479,28 @@ def fused_factored_features(
             # tile_frames= still overrides.
             tile_f = min(tile_f, 64)
     x3 = precision == "bf16x3"
-    use_gauss = (not x3) if gauss is None else bool(gauss)
+
+    if isinstance(mapping_key, str):
+        if mapping_key != "identity":
+            raise InvalidInputError(f"unknown mapping_key {mapping_key!r}")
+        fb = np.eye(n_bins, dtype=np.float64)
+    elif isinstance(mapping_key, KernelConst):
+        fb = mapping_key.array                               # (n_out, n_bins)
+    else:
+        fb = np.asarray(mapping_key, dtype=np.float64)       # (n_out, n_bins)
+    if fb.shape[1] != n_bins:
+        raise InvalidInputError(
+            f"mapping has {fb.shape[1]} bins, expected {n_bins}"
+        )
+
+    # ---- round-3 tile-pass trims (see module docstring) ---------------------
+    # raw_real: real classes emit raw squares, the map pairs them — needs the
+    # map to consume power linearly, so pre_amp must be "none".
+    raw_real = column_prune and pre_amp == "none"
+    ks = _needed_complex_k1(fb, r) if column_prune else None
+    trunc = ks is not None and r >= 4
+    raw_cplx = trunc and pre_amp == "none"
+    use_gauss = False if trunc else ((not x3) if gauss is None else bool(gauss))
     if batch_classes is None:
         # Measured on v5e (4-rep interleaved slope A/B, flagship MFCC shape):
         # 1-pass bf16 wins every rep with the large fused dots (0.205 vs
@@ -437,7 +515,17 @@ def fused_factored_features(
     ang = 2.0 * np.pi * np.outer(n1, n1) / 128.0
     C = np.cos(ang)
     Sp = np.sin(ang)
-    if not use_gauss:
+    if trunc:
+        # Column-pruned packed constant: keep only the needed k₁ columns.
+        # Layout [re(i) | im(i)] at columns i and 64+i for i = index in ks.
+        G = np.zeros((256, 128), dtype=np.float64)
+        for i, k1 in enumerate(ks):
+            G[:128, i] = C[:, k1]
+            G[128:, i] = Sp[:, k1]
+            G[:128, 64 + i] = -Sp[:, k1]
+            G[128:, 64 + i] = C[:, k1]
+        G = G.astype(np.float32)
+    elif not use_gauss:
         # Packed 4-mult complex outer constant.
         G = np.block([[C, -Sp], [Sp, C]]).astype(np.float32)  # (256, 256)
     else:
@@ -445,15 +533,28 @@ def fused_factored_features(
         # via T1=(a+b)@G1, T2=b@G2, T3=a@G3 → re=T1−T2, im=T1+T3.
         G = np.concatenate([C, C - Sp, -(C + Sp)], axis=1).astype(np.float32)
     g_hi, g_lo = _split_bf16(G)
+
     # Real-class outer dots (classes 0 and r/2): the class twiddle
-    # e^{-2πi n₁ c / N} folds into the constant, so the kernel's input is
-    # the real inner-DFT output and one (128, 256) [cosθ | −sinθ] dot
-    # yields [re | im] directly.
-    rw = np.zeros((256, 256), dtype=np.float64)
-    for slot, c in enumerate((0, r // 2)):
-        th = ang + 2.0 * np.pi * np.outer(n1, np.ones(128)) * c / n_fft
-        rw[slot * 128 : (slot + 1) * 128, :128] = np.cos(th)
-        rw[slot * 128 : (slot + 1) * 128, 128:] = -np.sin(th)
+    # e^{-2πi n₁ c / N} folds into the constant.
+    if raw_real:
+        # Hermitian-in-k₁ packing, one (128,128) dot per class:
+        #   class 0:  X₀ over k₁ is a real-input 128-DFT → independent values
+        #             re(0..64), im(1..63) — exactly 128 columns.
+        #   class r/2: the folded twiddle makes it a half-bin-shifted DFT,
+        #             X[127−k₁] = conj X[k₁] → re(0..63), im(0..63).
+        rw = np.zeros((256, 128), dtype=np.float64)
+        th0 = ang  # class-0 twiddle is 1
+        rw[0:128, 0:65] = np.cos(th0[:, 0:65])
+        rw[0:128, 65:128] = -np.sin(th0[:, 1:64])
+        thh = 2.0 * np.pi * np.outer(n1, np.arange(64) + 0.5) / 128.0
+        rw[128:256, 0:64] = np.cos(thh)
+        rw[128:256, 64:128] = -np.sin(thh)
+    else:
+        rw = np.zeros((256, 256), dtype=np.float64)
+        for slot, c in enumerate((0, r // 2)):
+            th = ang + 2.0 * np.pi * np.outer(n1, np.ones(128)) * c / n_fft
+            rw[slot * 128 : (slot + 1) * 128, :128] = np.cos(th)
+            rw[slot * 128 : (slot + 1) * 128, 128:] = -np.sin(th)
     rw_hi, rw_lo = _split_bf16(rw.astype(np.float32))
     if not x3:
         g_lo = np.zeros((8, 128), dtype=g_lo.dtype)
@@ -473,27 +574,62 @@ def fused_factored_features(
         tw[c, 128:] = -np.sin(th)
     tw = tw.astype(np.float32)
 
-    if isinstance(mapping_key, str):
-        if mapping_key != "identity":
-            raise InvalidInputError(f"unknown mapping_key {mapping_key!r}")
-        fb = np.eye(n_bins, dtype=np.float64)
-    elif isinstance(mapping_key, KernelConst):
-        fb = mapping_key.array                               # (n_out, n_bins)
-    else:
-        fb = np.asarray(mapping_key, dtype=np.float64)       # (n_out, n_bins)
-    if fb.shape[1] != n_bins:
-        raise InvalidInputError(
-            f"mapping has {fb.shape[1]} bins, expected {n_bins}"
-        )
     n_out = fb.shape[0]
     n_out_pad = _round_up(n_out, 128)
-    # Hermitian fold: natural bin k → slot (c, k₁); mirror c > r/2 classes.
-    M = np.zeros((classes * 128, n_out_pad), dtype=np.float64)
+
+    # ---- mapping fold: natural bin k → (class block, column(s)) ------------
+    # Block layout of the kernel's P concat, per class c = 0..r/2:
+    #   real classes, raw_real:   width 128, raw squares — bin (c,k₁) reads
+    #       its re column and (if present) its im column; k₁ beyond the
+    #       packed range reads its conjugate's columns (same power).
+    #   real classes, legacy:     width 128, |·|² at column k₁.
+    #   complex, trunc+raw_cplx:  width 128, raw squares at cols i / 64+i.
+    #   complex, trunc (chroma):  width 64, |·|² at column i.
+    #   complex, full:            width 128, |·|² at column k₁.
+    widths = []
+    for c in range(classes):
+        if c in (0, r // 2):
+            widths.append(128)
+        elif trunc and not raw_cplx:
+            widths.append(64)
+        else:
+            widths.append(128)
+    offsets = np.concatenate([[0], np.cumsum(widths)])
+    p_width = int(offsets[-1])
+    ks_index = {k1: i for i, k1 in enumerate(ks)} if trunc else None
+
+    def slot_columns(c: int, k1: int):
+        """Columns of the P block for class c holding bin power parts."""
+        if c == 0:
+            if raw_real:
+                if k1 > 64:          # conjugate inside the class
+                    k1 = 128 - k1
+                cols = [k1]
+                if 1 <= k1 <= 63:
+                    cols.append(64 + k1)
+                return cols
+            return [k1]
+        if c == r // 2:
+            if raw_real:
+                if k1 > 63:          # X[127−k₁] = conj X[k₁]
+                    k1 = 127 - k1
+                return [k1, 64 + k1]
+            return [k1]
+        if trunc:
+            i = ks_index[k1]
+            return [i, 64 + i] if raw_cplx else [i]
+        return [k1]
+
+    M = np.zeros((p_width, n_out_pad), dtype=np.float64)
     for k_nat in range(n_bins):
+        w = fb[:, k_nat]
+        if trunc and not np.any(w != 0.0):
+            continue
         c, k1 = k_nat % r, k_nat // r
         if c > r // 2:
             c, k1 = r - c, 127 - k1
-        M[c * 128 + k1, :n_out] += fb[:, k_nat]
+        for col in slot_columns(c, k1):
+            M[offsets[c] + col, :n_out] += w
     M = M.astype(np.float32)
 
     if dct_key is not None:
@@ -538,13 +674,16 @@ def fused_factored_features(
         use_gauss=use_gauss,
         with_dct=with_dct,
         batch_classes=bool(batch_classes),
+        raw_real=raw_real,
+        trunc=trunc,
+        raw_cplx=raw_cplx,
     )
     const_specs = [
         pl.BlockSpec(tuple(g_hi_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(tuple(g_lo_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n_fft), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((classes_pad, 256), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((256, 256), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(tuple(rw_hi_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(tuple(rw_lo_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(tuple(map_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(tuple(dct_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),

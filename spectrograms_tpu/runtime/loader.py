@@ -88,6 +88,73 @@ class AudioBatchLoader:
             self._apply_rate_policy(data, lengths, srs, path_idx)
             yield data, lengths, srs
 
+    def iter_borrowed(
+        self,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Zero-copy iteration: yields views into the loader's ring slots.
+
+        The ``data`` array of each yielded batch is a *borrowed* view of
+        native memory — valid only until the next iteration step (the slot
+        is recycled once the generator resumes). Consume or upload it before
+        advancing; keep :meth:`iter_with_rates` for arrays that must outlive
+        the loop. ``lengths``/``sample_rates`` are owned copies (they are
+        tiny). Falls back to the owned-array iteration without the native
+        library. This is the :class:`~spectrograms_tpu.serving.FeaturePipeline`
+        hot path: decode writes each row in place (``sg_wav_decode_into``)
+        and the only remaining host copy is the device upload itself.
+        """
+        if self._lib is None:
+            yield from self.iter_with_rates()
+            return
+        lib = self._lib
+        c_paths = (ctypes.c_char_p * len(self.paths))(
+            *[p.encode() for p in self.paths]
+        )
+        h = lib.sg_loader_new(
+            c_paths,
+            len(self.paths),
+            self.batch_size,
+            self.target_len,
+            self._n_threads,
+            self._prefetch,
+        )
+        if not h:
+            raise IOError(lib.sg_last_error().decode("utf-8", "replace"))
+        try:
+            while True:
+                token = ctypes.c_int64(-1)
+                p_data = ctypes.POINTER(ctypes.c_float)()
+                p_len = ctypes.POINTER(ctypes.c_int64)()
+                p_sr = ctypes.POINTER(ctypes.c_int32)()
+                p_idx = ctypes.POINTER(ctypes.c_int64)()
+                n = lib.sg_loader_acquire(
+                    h, ctypes.byref(token), ctypes.byref(p_data),
+                    ctypes.byref(p_len), ctypes.byref(p_sr), ctypes.byref(p_idx),
+                )
+                if n < 0:
+                    raise IOError(lib.sg_last_error().decode("utf-8", "replace"))
+                if n == 0:
+                    return
+                try:
+                    data = np.ctypeslib.as_array(
+                        p_data, shape=(self.batch_size, self.target_len)
+                    )
+                    lengths = np.ctypeslib.as_array(
+                        p_len, shape=(self.batch_size,)
+                    ).copy()
+                    srs = np.ctypeslib.as_array(
+                        p_sr, shape=(self.batch_size,)
+                    ).copy()
+                    path_idx = np.ctypeslib.as_array(
+                        p_idx, shape=(self.batch_size,)
+                    ).copy()
+                    self._apply_rate_policy(data, lengths, srs, path_idx)
+                    yield data, lengths, srs
+                finally:
+                    lib.sg_loader_release(h, token)
+        finally:
+            lib.sg_loader_free(h)
+
     def _apply_rate_policy(
         self,
         data: np.ndarray,

@@ -113,6 +113,23 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.POINTER(c.c_int32),
         c.POINTER(c.c_int64),
     ]
+    lib.sg_loader_acquire.restype = c.c_int64
+    lib.sg_loader_acquire.argtypes = [
+        c.c_void_p,
+        c.POINTER(c.c_int64),
+        c.POINTER(c.POINTER(c.c_float)),
+        c.POINTER(c.POINTER(c.c_int64)),
+        c.POINTER(c.POINTER(c.c_int32)),
+        c.POINTER(c.POINTER(c.c_int64)),
+    ]
+    lib.sg_loader_release.argtypes = [c.c_void_p, c.c_int64]
+    lib.sg_wav_decode_into.restype = c.c_int64
+    lib.sg_wav_decode_into.argtypes = [
+        c.c_char_p,
+        c.POINTER(c.c_float),
+        c.c_int64,
+        c.POINTER(c.c_int32),
+    ]
     return lib
 
 

@@ -150,11 +150,23 @@ class FeaturePipeline:
             expected_sample_rate=int(round(self.sample_rate_hz)),
             on_rate_mismatch=self.on_rate_mismatch,
         )
-        for data, lengths in loader:
+        # iter_borrowed yields views into the loader's ring slots (the
+        # decode already wrote each row in place — no staging copies). The
+        # slot is recycled when the generator resumes, so the host buffer
+        # must be fully consumed before advancing: on an accelerator,
+        # block until the upload lands; on the CPU backend jnp.asarray may
+        # alias host memory, so the dtype-cast copy below is mandatory
+        # (float32 plans get an explicit copy).
+        on_cpu = jax.default_backend() == "cpu"
+        for data, lengths, _ in loader.iter_borrowed():
+            if on_cpu and np.dtype(self.plan._dtype) == np.float32:
+                data = np.array(data)  # un-alias before the slot recycles
             xb = jnp.asarray(data, dtype=self.plan._dtype)
             if self._sharding is not None:
                 xb = jax.device_put(xb, self._sharding)
             feats = self._step(xb)
+            if not on_cpu:
+                jax.block_until_ready(xb)
             yield FeatureBatch(
                 features=feats,
                 lengths=lengths,

@@ -306,3 +306,74 @@ def test_pallas_chroma_4096_path_runs():
     x = sine(440.0, duration=0.5, sr=44100.0).astype(np.float32)
     out = plan.compute(x)
     assert np.asarray(out.data).shape[0] == 12
+
+
+def test_column_prune_layouts_match_default():
+    """The opt-in column_prune layouts (Hermitian-packed real classes, k₁
+    column pruning, raw-squares map fold) are exact vs the default kernel —
+    measured slower on v5e (see module docstring) but kept for MAC-bound
+    regimes, so they must stay correct."""
+    from spectrograms_tpu.chroma import chroma_filterbank
+    from spectrograms_tpu.mfcc import _dct_lifter_matrix
+    from spectrograms_tpu.ops.filterbanks import mel_filterbank
+    from spectrograms_tpu.ops.pallas_factored import (
+        KernelConst,
+        fused_factored_features,
+    )
+    from spectrograms_tpu.windows import make_window
+
+    x = np.stack([sine(440.0), noise()]).astype(np.float32)
+
+    # mel+dB+DCT (raw_real active, complex classes full)
+    mel = mel_filterbank(SR, 1024, MEL)
+    w1 = tuple(make_window("hann", 1024, np.float64).tolist())
+    dct = _dct_lifter_matrix(128, 40, 22)
+    kw = dict(amp="decibels", precision="bf16x3", dct_key=KernelConst(dct),
+              interpret=True)
+    a, b = (
+        np.asarray(
+            fused_factored_features(
+                1024, 256, w1, KernelConst(mel), column_prune=cp, **kw
+            )(x)
+        )
+        for cp in (False, True)
+    )
+    np.testing.assert_allclose(a, b, atol=5e-3 * np.abs(a).max())
+
+    # chroma at 44.1 kHz (k₁ pruning active: 25 of 128 columns)
+    from spectrograms_tpu.params import ChromaParams
+
+    w4 = tuple(make_window("hann", 4096, np.float64).tolist())
+    fb = chroma_filterbank(44100.0, 4096, ChromaParams())
+    xc = np.stack([sine(440.0, sr=44100.0), 0.2 * noise(44100)]).astype(np.float32)
+    kwc = dict(amp="power", pre_amp="magnitude", precision="bf16x3",
+               interpret=True)
+    ca, cb = (
+        np.asarray(
+            fused_factored_features(
+                4096, 1024, w4, KernelConst(fb), column_prune=cp, **kwc
+            )(xc)
+        )
+        for cp in (False, True)
+    )
+    np.testing.assert_allclose(ca, cb, atol=1e-4 * np.abs(ca).max())
+
+
+def test_column_prune_linear_identity():
+    """Identity mapping (all bins needed): pruning must no-op on the complex
+    classes but the real-class repacking still applies — outputs match."""
+    from spectrograms_tpu.ops.pallas_factored import fused_factored_features
+    from spectrograms_tpu.windows import make_window
+
+    w = tuple(make_window("hann", 512, np.float64).tolist())
+    x = np.stack([sine(440.0), noise()]).astype(np.float32)
+    a, b = (
+        np.asarray(
+            fused_factored_features(
+                512, 128, w, "identity", amp="power", precision="bf16x3",
+                interpret=True, column_prune=cp,
+            )(x)
+        )
+        for cp in (False, True)
+    )
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3 * np.abs(a).max())

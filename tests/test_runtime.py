@@ -411,3 +411,66 @@ def _consume_concurrently(lib, paths):
         t.join()
     lib.sg_loader_free(h)
     assert sorted(got) == list(range(len(paths)))  # every file exactly once
+
+
+# ---- decode-into-slot + borrowed iteration (round 3) ------------------------
+
+def test_decode_into_matches_read_and_truncates(tmp_path):
+    """sg_wav_decode_into = read_wav(mono) prefix + zero tail, reading only
+    the bytes that fit the row (a long clip costs target_len of IO)."""
+    import ctypes
+
+    from spectrograms_tpu.runtime.native import load_library
+
+    rng = np.random.default_rng(3)
+    stereo = (0.3 * rng.standard_normal((5000, 2))).astype(np.float32)
+    p = tmp_path / "stereo.wav"
+    write_wav(p, stereo, 8000, bits=16)
+    lib = load_library()
+    for cap in (2000, 5000, 6000):
+        dst = np.full(cap, 7.0, dtype=np.float32)
+        sr = ctypes.c_int32()
+        n = lib.sg_wav_decode_into(
+            str(p).encode(), dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cap, ctypes.byref(sr))
+        assert sr.value == 8000
+        assert n == min(5000, cap)
+        ref, _ = read_wav(p, mono=True)
+        np.testing.assert_allclose(dst[:n], ref[:n], atol=2e-4)
+        np.testing.assert_array_equal(dst[n:], 0)  # tail zeroed past the clip
+
+
+def test_iter_borrowed_matches_copy_iteration(tmp_path):
+    lengths = [1000, 2000, 1500, 800, 3000, 4000, 10]
+    paths = _write_clips(tmp_path, lengths)
+    kw = dict(batch_size=3, target_len=2500, n_threads=2)
+    copied = [
+        (d.copy(), l.copy(), s.copy())
+        for d, l, s in AudioBatchLoader(paths, **kw).iter_with_rates()
+    ]
+    borrowed = [
+        (d.copy(), l.copy(), s.copy())  # copy: views die on generator resume
+        for d, l, s in AudioBatchLoader(paths, **kw).iter_borrowed()
+    ]
+    assert len(copied) == len(borrowed)
+    for (da, la, sa), (db, lb, sb) in zip(copied, borrowed):
+        np.testing.assert_array_equal(da, db)
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(sa, sb)
+
+
+def test_iter_borrowed_applies_resample_policy(tmp_path):
+    # a 16 kHz clip in an 8 kHz loader: the borrowed row must be resampled
+    # in place before it is yielded
+    x = np.sin(2 * np.pi * 440.0 * np.arange(16000) / 16000.0).astype(np.float32)
+    p = tmp_path / "hi.wav"
+    write_wav(p, x, 16000, bits=16)
+    loader = AudioBatchLoader(
+        [p], batch_size=1, target_len=8000,
+        expected_sample_rate=8000, on_rate_mismatch="resample",
+    )
+    (data, lens, srs), = list(loader.iter_borrowed())
+    assert srs[0] == 16000 and lens[0] == 8000
+    ref = np.sin(2 * np.pi * 440.0 * np.arange(8000) / 8000.0)
+    core = slice(100, 7800)  # away from filter edges
+    assert np.max(np.abs(data[0][core] - ref[core])) < 5e-3
