@@ -339,6 +339,14 @@ class CqtParams:
     """Constant-Q transform parameters.
 
     ``q_factor`` defaults to ``1 / (2^(1/bins_per_octave) - 1)``.
+
+    ``multirate=True`` computes low octaves against 2^d-decimated copies of
+    the signal (octave-stacked CQT) instead of inheriting the reference's
+    kernel clamp (``cqt.rs:376-384``): bins whose kernels exceed the frame
+    keep their full Q. Values then match the *untruncated* direct CQT (same
+    params with a frame long enough for every kernel) to anti-alias-filter
+    accuracy, not the truncated one. Beyond-parity extension (off by
+    default); streaming ``compute_frame`` keeps single-rate kernels.
     """
     bins_per_octave: Any
     n_octaves: Any
@@ -347,6 +355,7 @@ class CqtParams:
     window: Any = ...
     sparsity_threshold: Any = 0.01
     normalize: Any = True
+    multirate: Any = False
 
     def bin_bandwidth(self, bin_idx):
         ...
@@ -379,6 +388,9 @@ class CqtParams:
 
     @staticmethod
     def percussive():
+        ...
+
+    def with_multirate(self, multirate = True):
         ...
 
     def with_normalize(self, normalize):

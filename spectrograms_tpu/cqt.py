@@ -29,6 +29,42 @@ __all__ = ["CqtResult", "cqt"]
 _MAX_KERNEL_FRAME = 16384
 
 
+def multirate_ri_blocks(x, groups_dev, frame_len: int, hop: int, nf: int,
+                        precision):
+    """Per-group [re | −im] correlations of the octave-stacked CQT.
+
+    ``groups_dev``: list of ``(d, k_ri_device (frame_len, 2·nb), e0)`` from
+    :func:`spectrograms_tpu.ops.cqt.multirate_cqt_groups` with device-resident
+    kernels. For each group the signal is 2^d-decimated (zero-phase
+    half-band, time-aligned grid) and framed so frame ``i``'s END lands on
+    the same instant as full-rate frame ``i`` (decimated index
+    ``i·hop/2^d + e0``) — the pre-scaled kernels then reproduce the
+    *untruncated* full-rate correlation. Returns a list of (nf, 2·nb)
+    arrays in group (= ascending bin) order.
+    """
+    from .ops.decimate import decimate2
+    from .ops.framing import framed_matmul
+
+    d_max = max(d for d, _, _ in groups_dev)
+    levels = {0: x}
+    for d in range(1, d_max + 1):
+        levels[d] = decimate2(levels[d - 1])
+
+    outs = []
+    for d, k_ri, e0 in groups_dev:
+        y = levels[d]
+        hop_d = hop >> d
+        need = (nf - 1) * hop_d + frame_len
+        left = frame_len - e0
+        total = left + y.shape[-1]
+        w = jnp.pad(y, (left, max(0, need - total)))[:need]
+        outs.append(
+            framed_matmul(w, k_ri, frame_len, hop_d, centre=False,
+                          precision=precision)
+        )
+    return outs
+
+
 @dataclass
 class CqtResult:
     """Complex CQT coefficients (n_bins, n_frames) + axes."""
@@ -97,6 +133,34 @@ def cqt(samples, sample_rate: float, params: CqtParams, hop_size: int, dtype=Non
         raise InvalidInputError("hop_size must be > 0")
 
     frame_len = min(x.shape[0], _MAX_KERNEL_FRAME)
+    prec = (
+        jax.lax.Precision(precision)
+        if precision is not None
+        else jax.lax.Precision.HIGHEST
+        if np.dtype(dt) == np.float64
+        else jax.lax.Precision.HIGH
+    )
+
+    if params.multirate:
+        from .ops.cqt import multirate_cqt_groups
+        from .ops.framing import frame_count
+
+        groups, freqs = multirate_cqt_groups(
+            params, float(sample_rate), int(frame_len), int(hop_size), False
+        )
+        groups_dev = [(d, jnp.asarray(k_ri.astype(dt)), e0) for d, k_ri, e0 in groups]
+        nf = frame_count(int(x.shape[0]), int(frame_len), int(hop_size), False)
+        blocks = multirate_ri_blocks(
+            x, groups_dev, int(frame_len), int(hop_size), nf, prec
+        )
+        parts = []
+        for ri in blocks:
+            nb = ri.shape[-1] // 2
+            parts.append((ri[:, :nb] + 1j * ri[:, nb:]).T)
+        data = jnp.concatenate(parts, axis=0).astype(complex_dtype(dt))
+        return CqtResult(data=data, frequencies=freqs,
+                         sample_rate=float(sample_rate), hop_size=int(hop_size))
+
     k_re, k_im, freqs = cqt_kernel_matrices(params, sample_rate, frame_len)
 
     k_ri = np.concatenate([k_re.T, k_im.T], axis=1).astype(dt)
@@ -105,13 +169,7 @@ def cqt(samples, sample_rate: float, params: CqtParams, hop_size: int, dtype=Non
         jnp.asarray(k_ri),
         int(frame_len),
         int(hop_size),
-        (
-            jax.lax.Precision(precision)
-            if precision is not None
-            else jax.lax.Precision.HIGHEST
-            if np.dtype(dt) == np.float64
-            else jax.lax.Precision.HIGH
-        ),
+        prec,
     )
     data = (re + 1j * im).astype(complex_dtype(dt))
     return CqtResult(data=data, frequencies=freqs, sample_rate=float(sample_rate),

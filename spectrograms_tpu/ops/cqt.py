@@ -29,6 +29,43 @@ from ..windows import make_window
 __all__ = ["cqt_kernel_matrices", "cqt_bin_frequencies"]
 
 
+def _kernel_row(params: CqtParams, fc: float, sample_rate: float,
+                frame_length: int):
+    """One bin's right-aligned conjugate-correlation row pair (re, −im).
+
+    Identical math to the reference's per-bin kernel generation
+    (``cqt.rs:316-440``): length ⌈Q·sr/f_c⌋ clamped to the frame, windowed
+    complex exponential, sparsity thresholding, unit-energy normalization.
+    Returns (row_re, row_minus_im, was_truncated).
+    """
+    kernel_length = int(np.round(params.q_factor * sample_rate / fc))
+    was_truncated = kernel_length > frame_length > 1
+    kernel_length = max(1, min(kernel_length, frame_length))
+
+    w = make_window(params.window, kernel_length, np.float64)
+    t = np.arange(kernel_length, dtype=np.float64) / sample_rate
+    phase = 2.0 * np.pi * fc * t
+    kernel = (np.cos(phase) + 1j * np.sin(phase)) * w
+
+    if params.sparsity_threshold > 0.0:
+        mags = np.abs(kernel)
+        max_mag = mags.max()
+        if max_mag > 0.0:
+            kernel = np.where(mags < max_mag * params.sparsity_threshold, 0.0, kernel)
+
+    if params.normalize:
+        energy = float(np.sum(np.abs(kernel) ** 2))
+        if energy > 0.0:
+            kernel = kernel / np.sqrt(energy)
+
+    # Right-align: the reference correlates the kernel against the *end*
+    # of the frame (start_idx = len - kernel_length, cqt.rs:497).
+    row = np.zeros(frame_length, dtype=np.complex128)
+    row[frame_length - kernel_length :] = kernel
+    # Correlation uses conj(k): re += k.re·s, im += (-k.im)·s.
+    return row.real, -row.imag, was_truncated
+
+
 @lru_cache(maxsize=32)
 def _cqt_kernels_cached(params: CqtParams, sample_rate: float, frame_length: int):
     num_bins = params.num_bins
@@ -39,42 +76,22 @@ def _cqt_kernels_cached(params: CqtParams, sample_rate: float, frame_length: int
         fc = params.bin_frequency(bin_idx)
         if fc >= sample_rate / 2.0:
             break  # reference stops generating bins at Nyquist
-
-        kernel_length = int(np.round(params.q_factor * sample_rate / fc))
-        if kernel_length > frame_length > 1:
+        row_re, row_mim, was_trunc = _kernel_row(params, fc, sample_rate, frame_length)
+        if was_trunc:
+            kernel_length = int(np.round(params.q_factor * sample_rate / fc))
             truncated.append((bin_idx, fc, kernel_length))
-        kernel_length = max(1, min(kernel_length, frame_length))
-
-        w = make_window(params.window, kernel_length, np.float64)
-        t = np.arange(kernel_length, dtype=np.float64) / sample_rate
-        phase = 2.0 * np.pi * fc * t
-        kernel = (np.cos(phase) + 1j * np.sin(phase)) * w
-
-        if params.sparsity_threshold > 0.0:
-            mags = np.abs(kernel)
-            max_mag = mags.max()
-            if max_mag > 0.0:
-                kernel = np.where(mags < max_mag * params.sparsity_threshold, 0.0, kernel)
-
-        if params.normalize:
-            energy = float(np.sum(np.abs(kernel) ** 2))
-            if energy > 0.0:
-                kernel = kernel / np.sqrt(energy)
-
-        # Right-align: the reference correlates the kernel against the *end*
-        # of the frame (start_idx = len - kernel_length, cqt.rs:497).
-        row = np.zeros(frame_length, dtype=np.complex128)
-        row[frame_length - kernel_length :] = kernel
-        # Correlation uses conj(k): re += k.re·s, im += (-k.im)·s.
-        rows_re.append(row.real)
-        rows_im.append(-row.imag)
+        rows_re.append(row_re)
+        rows_im.append(row_mim)
         freqs.append(fc)
 
-    if truncated:
+    if truncated and not getattr(params, "multirate", False):
         # The reference silently clamps kernels to the signal length
         # (cqt.rs:380-392); an integrated plan additionally clamps to n_fft.
         # A truncated kernel has less than its nominal Q — warn instead of
         # quietly degrading frequency resolution (round-1 VERDICT weak #7).
+        # (With multirate=True these matrices are only the streaming
+        # fallback; the octave-stacked path restores full Q and does its
+        # own residual warning — multirate_cqt_groups.)
         import warnings
 
         lo_bin, lo_fc, lo_len = truncated[0]
@@ -82,8 +99,8 @@ def _cqt_kernels_cached(params: CqtParams, sample_rate: float, frame_length: int
             f"{len(truncated)} low CQT bin(s) need kernels longer than the "
             f"frame ({lo_len} > {frame_length} samples at bin {lo_bin}, "
             f"{lo_fc:.1f} Hz) and are truncated, reducing their effective Q; "
-            f"use n_fft >= {lo_len} (or a higher f_min / lower q_factor) for "
-            "full resolution",
+            f"use n_fft >= {lo_len}, CqtParams(multirate=True), or a higher "
+            "f_min / lower q_factor for full resolution",
             stacklevel=3,
         )
     k_re = np.asarray(rows_re, dtype=np.float64)
@@ -213,3 +230,122 @@ def plan_cqt_bands(lengths, n_fft: int, hop: int, max_bands: int = 4):
         b, j = pb, i
     bands.reverse()
     return bands
+
+
+# ---------------------------------------------------------------------------
+# Multi-rate (octave-stacked) CQT
+# ---------------------------------------------------------------------------
+#
+# The reference clamps kernels longer than the frame (cqt.rs:376-384),
+# silently reducing low-bin Q — at the musical preset (f_min=32.7 Hz,
+# n_fft=4096, 44.1 kHz) bin 0 wants a 22678-sample kernel. Instead of
+# inheriting the clamp, CqtParams(multirate=True) computes each octave
+# against a 2^d-decimated copy of the signal: at rate sr/2^d the same
+# time-extent kernel is 2^d× shorter in samples, so every bin keeps its
+# full Q with frames never exceeding frame_length. Zero-phase half-band
+# decimation (ops/decimate.py) keeps the decimated grid time-aligned, so
+# level-d frame ends land on the exact instants of the full-rate frames.
+#
+# Value contract: coefficients match the *untruncated* direct CQT (the
+# same params computed with a frame long enough for every kernel), not the
+# truncated one. With normalize=True a kernel sampled at rate sr/2^d has
+# 2^d× fewer samples, so the unit-energy normalization shrinks the
+# correlation by 2^{-d/2}; the rows are pre-scaled by 2^{d/2} to restore
+# the full-rate value (by 2^d for normalize=False — the Riemann-sum
+# density factor). Verified against the long-kernel direct CQT in
+# tests/test_cqt_erb.py.
+
+def max_decimation(frame_length: int, hop: int, centre: bool) -> int:
+    """Largest d such that every level-d frame end lies on the 2^d grid.
+
+    Full-rate frame ends sit at i·hop + frame_length//2 (centre) or
+    i·hop + frame_length (tail framing) — exact alignment needs
+    2^d | hop and 2^d | the constant offset.
+    """
+    offset = frame_length // 2 if centre else frame_length
+    d = 0
+    while (
+        d < 16
+        and hop % (2 << d) == 0
+        and offset % (2 << d) == 0
+    ):
+        d += 1
+    return d
+
+
+@lru_cache(maxsize=16)
+def multirate_cqt_groups(params: CqtParams, sample_rate: float,
+                         frame_length: int, hop: int, centre: bool):
+    """Octave-stacked kernel groups for CqtParams(multirate=True).
+
+    Returns ``(groups, freqs)`` where each group is
+    ``(d, K_ri, e0)``: bins computed at decimation 2^d against
+    ``frame_length``-sample frames of the decimated signal whose ends align
+    with the full-rate frame ends. ``K_ri`` is the (frame_length,
+    2·n_group_bins) f64 [re | −im] correlation matrix — *pre-scaled* so the
+    result matches the untruncated full-rate CQT — with its columns in
+    global bin order within the group (groups are contiguous in bin index,
+    low bins = deepest d). ``e0`` is the first frame's end index in the
+    decimated signal. Bin b of group (lo, hi) is global bin lo+b; bins are
+    ordered so concatenating groups in the returned order restores
+    0..n_bins-1.
+    """
+    d_max = max_decimation(frame_length, hop, centre)
+    # Per generated bin (below Nyquist, like the single-rate builder):
+    # minimal d with kernel fitting the frame, capped at d_max.
+    fcs, ds = [], []
+    still_truncated = []
+    for bin_idx in range(params.num_bins):
+        fc = params.bin_frequency(bin_idx)
+        if fc >= sample_rate / 2.0:
+            break
+        full_len = int(np.round(params.q_factor * sample_rate / fc))
+        d = 0
+        while full_len > frame_length * (1 << d) and d < d_max:
+            d += 1
+        if full_len > frame_length * (1 << d):
+            still_truncated.append((bin_idx, fc, full_len, d))
+        fcs.append(fc)
+        ds.append(d)
+
+    if still_truncated:
+        import warnings
+
+        lo_bin, lo_fc, lo_len, d = still_truncated[0]
+        warnings.warn(
+            f"{len(still_truncated)} low CQT bin(s) remain truncated even at "
+            f"the deepest aligned decimation 2^{d} (kernel {lo_len} > "
+            f"{frame_length * (1 << d)} effective samples at bin {lo_bin}, "
+            f"{lo_fc:.1f} Hz); increase n_fft or hop divisibility for full "
+            "resolution",
+            stacklevel=3,
+        )
+
+    # ds is non-increasing requirement? fc increases with bin ⇒ kernel
+    # shortens ⇒ d non-increasing. Group contiguous runs of equal d.
+    groups = []
+    i = 0
+    while i < len(fcs):
+        j = i
+        while j < len(fcs) and ds[j] == ds[i]:
+            j += 1
+        d = ds[i]
+        D = 1 << d
+        sr_d = sample_rate / D
+        rows_re, rows_im = [], []
+        for b in range(i, j):
+            row_re, row_mim, _ = _kernel_row(params, fcs[b], sr_d, frame_length)
+            rows_re.append(row_re)
+            rows_im.append(row_mim)
+        scale = float(np.sqrt(D)) if params.normalize else float(D)
+        k_ri = np.concatenate(
+            [np.asarray(rows_re).T, np.asarray(rows_im).T], axis=1
+        ) * scale
+        e0 = (frame_length // 2 if centre else frame_length) // D
+        k_ri.setflags(write=False)
+        groups.append((d, k_ri, e0))
+        i = j
+
+    freqs = np.asarray(fcs, dtype=np.float64)
+    freqs.setflags(write=False)
+    return tuple(groups), freqs

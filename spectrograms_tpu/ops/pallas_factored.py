@@ -242,6 +242,7 @@ def _kernel(
     rw_lo_ref,      # same shape lo (dummy in bf16 mode)
     map_ref,        # (p_width, n_out_pad) f32 folded filterbank
     dct_ref,        # (n_out_pad, dct_pad) f32 (dummy when no dct)
+    dif_w_ref,      # (8, 128) f32 DIF twiddle ŵ^m rows [re; im] (dummy if !dif)
     out_ref,        # (1, tile_f, out_cols) f32
     fr_ref,         # scratch (tile_f, n_fft) f32 frame tile (halo mode)
     *,
@@ -261,6 +262,7 @@ def _kernel(
     raw_real: bool,     # real classes: 1-pass Hermitian packing, raw squares
     trunc: bool,        # complex classes: needed-k₁ column-pruned constant
     raw_cplx: bool,     # truncated complex emit raw squares (map pairs them)
+    dif: bool,          # complex classes: radix-2 DIF stage + two 64-DFT dots
 ):
     def dot3(a, b, b_lo=None):
         # Mosaic lowers f32 dots to a single bf16 MXU pass; in x3 mode do the
@@ -330,6 +332,27 @@ def _kernel(
         bims.append(y_re * tw_im + y_im * tw_re)
 
     def complex_power(a_re, a_im):
+        if dif:
+            # Radix-2 decimation-in-frequency over the n₁ lane axis: one
+            # VPU stage (contiguous 64-lane halves + twiddle ŵ^m) halves
+            # the outer contraction to two 64-point DFTs sharing ONE
+            # packed constant — 2 × (·,128)@(128,128) dots per class vs
+            # the packed form's (·,256)@(256,256). Output order
+            # [evens | odds] is folded into the mapping rows.
+            a1r, a2r = a_re[:, :64], a_re[:, 64:]
+            a1i, a2i = a_im[:, :64], a_im[:, 64:]
+            u_re, u_im = a1r + a2r, a1i + a2i
+            dr, di = a1r - a2r, a1i - a2i
+            wr = dif_w_ref[0, :64]
+            wi = dif_w_ref[1, :64]
+            v_re = dr * wr - di * wi
+            v_im = dr * wi + di * wr
+            lo = g_lo_ref[:] if x3 else None
+            ue = dot3(jnp.concatenate([u_re, u_im], axis=1), g_hi_ref[:], lo)
+            vo = dot3(jnp.concatenate([v_re, v_im], axis=1), g_hi_ref[:], lo)
+            pe = ue[:, :64] * ue[:, :64] + ue[:, 64:] * ue[:, 64:]
+            po = vo[:, :64] * vo[:, :64] + vo[:, 64:] * vo[:, 64:]
+            return jnp.concatenate([pe, po], axis=1)
         if trunc:
             # Column-pruned packed dot: (·,256)@(256,128) — the constant
             # keeps only the k₁ columns some mapping row actually reads
@@ -415,6 +438,10 @@ def fused_factored_features(
     gauss=None,                # complex outer product form: True = Gauss
                                # 3-mult, False = packed 4-mult; None = auto
                                # (per-precision policy, see KERNEL_AB.md)
+    dif=False,                 # complex classes: radix-2 DIF stage on the
+                               # lane axis + two shared 64-DFT dots (halves
+                               # the packed form's contraction depth).
+                               # Exact; A/B opt-in — see KERNEL_AB.md.
     column_prune=False,        # needed-k₁ pruning + 1-pass real classes.
                                # Exact (max 1.7e-7 rel vs the full layouts)
                                # but measured SLOWER on v5e — chroma-4096
@@ -500,7 +527,14 @@ def fused_factored_features(
     ks = _needed_complex_k1(fb, r) if column_prune else None
     trunc = ks is not None and r >= 4
     raw_cplx = trunc and pre_amp == "none"
-    use_gauss = False if trunc else ((not x3) if gauss is None else bool(gauss))
+    dif = bool(dif)
+    if dif and trunc:
+        raise InvalidInputError("dif and column_prune truncation are mutually exclusive")
+    use_gauss = (
+        False
+        if (trunc or dif)
+        else ((not x3) if gauss is None else bool(gauss))
+    )
     if batch_classes is None:
         # Measured on v5e (4-rep interleaved slope A/B, flagship MFCC shape):
         # 1-pass bf16 wins every rep with the large fused dots (0.205 vs
@@ -515,7 +549,15 @@ def fused_factored_features(
     ang = 2.0 * np.pi * np.outer(n1, n1) / 128.0
     C = np.cos(ang)
     Sp = np.sin(ang)
-    if trunc:
+    if dif:
+        # Shared 64-point packed DFT constant for the DIF u/v dots:
+        # [[C64, −S64], [S64, C64]], input [re | im] (·,128), output
+        # [re | im] of the 64 even (u) / odd (v) k₁ bins.
+        n64 = np.arange(64, dtype=np.float64)
+        a64 = 2.0 * np.pi * np.outer(n64, n64) / 64.0
+        C64, S64 = np.cos(a64), np.sin(a64)
+        G = np.block([[C64, -S64], [S64, C64]]).astype(np.float32)  # (128,128)
+    elif trunc:
         # Column-pruned packed constant: keep only the needed k₁ columns.
         # Layout [re(i) | im(i)] at columns i and 64+i for i = index in ks.
         G = np.zeros((256, 128), dtype=np.float64)
@@ -615,6 +657,9 @@ def fused_factored_features(
                     k1 = 127 - k1
                 return [k1, 64 + k1]
             return [k1]
+        if dif:
+            # DIF output order: [evens | odds] over k₁
+            return [k1 // 2] if k1 % 2 == 0 else [64 + k1 // 2]
         if trunc:
             i = ks_index[k1]
             return [i, 64 + i] if raw_cplx else [i]
@@ -654,10 +699,18 @@ def fused_factored_features(
         out_cols = n_out_pad
         n_final = n_out
 
+    dif_w = np.zeros((8, 128), dtype=np.float64)
+    if dif:
+        m64 = np.arange(64, dtype=np.float64)
+        dif_w[0, :64] = np.cos(2.0 * np.pi * m64 / 128.0)
+        dif_w[1, :64] = -np.sin(2.0 * np.pi * m64 / 128.0)
+    dif_w = dif_w.astype(np.float32)
+
     g_hi_j, g_lo_j = jnp.asarray(g_hi), jnp.asarray(g_lo)
     rw_hi_j, rw_lo_j = jnp.asarray(rw_hi), jnp.asarray(rw_lo)
     win_j, tw_j = jnp.asarray(win), jnp.asarray(tw)
     map_j, dct_j = jnp.asarray(M), jnp.asarray(dct_mat)
+    dif_w_j = jnp.asarray(dif_w)
 
     kern = functools.partial(
         _kernel,
@@ -677,6 +730,7 @@ def fused_factored_features(
         raw_real=raw_real,
         trunc=trunc,
         raw_cplx=raw_cplx,
+        dif=dif,
     )
     const_specs = [
         pl.BlockSpec(tuple(g_hi_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
@@ -687,8 +741,10 @@ def fused_factored_features(
         pl.BlockSpec(tuple(rw_lo_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(tuple(map_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(tuple(dct_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 128), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    consts = (g_hi_j, g_lo_j, win_j, tw_j, rw_hi_j, rw_lo_j, map_j, dct_j)
+    consts = (g_hi_j, g_lo_j, win_j, tw_j, rw_hi_j, rw_lo_j, map_j, dct_j,
+              dif_w_j)
 
     @jax.jit
     def run(x):

@@ -385,6 +385,14 @@ class CqtParams:
     """Constant-Q transform parameters.
 
     ``q_factor`` defaults to ``1 / (2^(1/bins_per_octave) - 1)``.
+
+    ``multirate=True`` computes low octaves against 2^d-decimated copies of
+    the signal (octave-stacked CQT) instead of inheriting the reference's
+    kernel clamp (``cqt.rs:376-384``): bins whose kernels exceed the frame
+    keep their full Q. Values then match the *untruncated* direct CQT (same
+    params with a frame long enough for every kernel) to anti-alias-filter
+    accuracy, not the truncated one. Beyond-parity extension (off by
+    default); streaming ``compute_frame`` keeps single-rate kernels.
     """
 
     bins_per_octave: int
@@ -394,6 +402,7 @@ class CqtParams:
     window: WindowType = WindowType.HANNING
     sparsity_threshold: float = 0.01
     normalize: bool = True
+    multirate: bool = False
 
     def __post_init__(self):
         object.__setattr__(
@@ -415,6 +424,7 @@ class CqtParams:
         object.__setattr__(
             self, "sparsity_threshold", max(0.0, float(self.sparsity_threshold))
         )
+        object.__setattr__(self, "multirate", bool(self.multirate))
 
     # fluent modifiers (parity with with_* methods)
     def with_q_factor(self, q_factor: float) -> "CqtParams":
@@ -428,6 +438,9 @@ class CqtParams:
 
     def with_normalize(self, normalize: bool) -> "CqtParams":
         return replace(self, normalize=bool(normalize))
+
+    def with_multirate(self, multirate: bool = True) -> "CqtParams":
+        return replace(self, multirate=bool(multirate))
 
     @property
     def num_bins(self) -> int:

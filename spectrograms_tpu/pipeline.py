@@ -392,6 +392,23 @@ class SpectrogramPlan:
                 ]
             else:
                 self._cqt_bands = None
+            # Octave-stacked multirate path (CqtParams(multirate=True)):
+            # low octaves computed against 2^d-decimated signal copies so
+            # every bin keeps full Q instead of inheriting the reference's
+            # kernel clamp. The single-rate kernels above remain the
+            # frames-based fallback (compute_frame/streaming, which lack
+            # the long time context).
+            self._cqt_multirate = None
+            if scale_params.multirate:
+                from .ops.cqt import multirate_cqt_groups
+
+                groups, _ = multirate_cqt_groups(
+                    scale_params, sr, n_fft, hop, stft_p.centre
+                )
+                self._cqt_multirate = [
+                    (d, jnp.asarray(k_ri.astype(self._dtype)), e0)
+                    for d, k_ri, e0 in groups
+                ]
         else:  # pragma: no cover
             raise InvalidInputError(f"unknown freq scale {freq_scale}")
 
@@ -603,6 +620,20 @@ class SpectrogramPlan:
     def _forward_impl(self, x):
         dt = self._dtype
         if self.freq_scale == FreqScale.CQT:
+            if self._cqt_multirate is not None:
+                from .cqt import multirate_ri_blocks
+                from .ops.framing import frame_count as _fc
+
+                nf = _fc(int(x.shape[-1]), self._n_fft, self._hop, self._centre)
+                blocks = multirate_ri_blocks(
+                    x, self._cqt_multirate, self._n_fft, self._hop, nf,
+                    self.precision,
+                )
+                mapped = jnp.concatenate(
+                    [self._cqt_power(ri, ri.shape[-1] // 2) for ri in blocks],
+                    axis=-1,
+                )
+                return _apply_amp(mapped, self.amp_scale, self._floor_db, dt).T
             # Hopped-slice decomposition (ops/framing.framed_matmul): the
             # (n_frames, n_fft) frame matrix — the dominant HBM traffic of
             # the dense CQT matmul at batch scale — is never materialized.

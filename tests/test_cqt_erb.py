@@ -233,3 +233,122 @@ def test_tail_framed_matmul_matches_slice():
         want = frames[:, n_fft - s:] @ mat
         got = np.asarray(tail_framed_matmul(x, mat, n_fft, hop, s, True))
         np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+# ---- multi-rate (octave-stacked) CQT (round 3) -------------------------------
+
+class TestMultirateCqt:
+    SR = 16000.0
+    P_MR = sg.CqtParams(12, 5, 32.7, q_factor=1.0, multirate=True)
+    P_SR = sg.CqtParams(12, 5, 32.7, q_factor=1.0)
+
+    def _tone(self, seconds=2.0):
+        t = np.arange(int(seconds * self.SR)) / self.SR
+        return np.sin(2 * np.pi * 65.4 * t) + 0.5 * np.sin(2 * np.pi * 261.6 * t)
+
+    def test_restores_full_q_vs_untruncated_reference(self):
+        """Plan at n_fft=256 (kernels to 489 samples): multirate must match
+        the untruncated direct CQT (n_fft=1024, every kernel fits) where the
+        clamped single-rate plan errs ~15% on the low octaves."""
+        import warnings
+
+        x = self._tone()
+        params = sg.SpectrogramParams(sg.StftParams(256, 64), self.SR)
+        plan_mr = sg.CqtPowerPlan(params, self.P_MR, dtype="float64")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            plan_tr = sg.CqtPowerPlan(params, self.P_SR, dtype="float64")
+        ref_params = sg.SpectrogramParams(sg.StftParams(1024, 64), self.SR)
+        plan_ref = sg.CqtPowerPlan(ref_params, self.P_SR, dtype="float64")
+
+        mid = slice(80, 400)
+        prof = lambda plan: np.sqrt(
+            np.asarray(plan.compute(x).data)[:, mid].mean(axis=1)
+        )
+        pa, pb, pc = prof(plan_mr), prof(plan_ref), prof(plan_tr)
+        scale = pb.max()
+        assert np.abs(pa - pb).max() / scale < 5e-3      # full Q restored
+        assert np.abs(pc - pb).max() / scale > 5e-2      # the clamp it replaces
+
+    def test_no_truncation_warning_and_same_shape(self):
+        import warnings
+
+        x = self._tone(1.0)
+        params = sg.SpectrogramParams(sg.StftParams(256, 64), self.SR)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any truncation warning fails
+            plan = sg.CqtPowerPlan(params, self.P_MR, dtype="float64")
+            out = plan.compute(x)
+        assert out.shape == plan.output_shape(x.shape[0])
+        np.testing.assert_allclose(out.frequencies, self.P_MR.frequencies())
+
+    def test_multirate_noop_when_kernels_fit(self):
+        """With every kernel shorter than the frame, multirate must equal the
+        single-rate plan exactly (d=0 group, identical framing)."""
+        x = self._tone(1.0)
+        params = sg.SpectrogramParams(sg.StftParams(1024, 256), self.SR)
+        hi = sg.CqtParams(12, 2, 523.25, q_factor=1.0)
+        a = np.asarray(
+            sg.CqtPowerPlan(params, hi.with_multirate(), dtype="float64").compute(x).data
+        )
+        b = np.asarray(sg.CqtPowerPlan(params, hi, dtype="float64").compute(x).data)
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-14)
+
+    def test_standalone_cqt_multirate_vs_direct_formula(self):
+        """Standalone cqt() at the 16384-sample frame cap: f_min=16.35 Hz
+        (C0) wants a 16440-sample kernel — truncated even at the cap.
+        Multirate bin 0 must match the *direct numpy correlation of the
+        untruncated full-rate kernel* at the same frame ends (the value the
+        16384-frame clamp cannot reach)."""
+        import warnings
+
+        p_sr = sg.CqtParams(12, 6, 16.35)
+        p_mr = p_sr.with_multirate()
+        fc = 16.35
+        L = int(np.round(p_sr.q_factor * self.SR / fc))
+        assert L > 16384  # the premise: truncated even at the frame cap
+        rng = np.random.default_rng(7)
+        t = np.arange(32768) / self.SR
+        x = np.sin(2 * np.pi * fc * t) + 0.1 * rng.standard_normal(t.size)
+
+        r_mr = sg.cqt(x, self.SR, p_mr, hop_size=4096, dtype="float64")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r_tr = sg.cqt(x, self.SR, p_sr, hop_size=4096, dtype="float64")
+
+        # direct untruncated correlation at full rate, same frame ends
+        from spectrograms_tpu.windows import make_window
+
+        w = make_window(p_sr.window, L, np.float64)
+        kern = np.exp(2j * np.pi * fc * np.arange(L) / self.SR) * w
+        mags = np.abs(kern)
+        kern = np.where(mags < mags.max() * p_sr.sparsity_threshold, 0.0, kern)
+        kern = kern / np.sqrt(np.sum(np.abs(kern) ** 2))
+        n_frames = r_mr.n_frames
+        direct = []
+        for i in range(n_frames):
+            end = 16384 + i * 4096
+            seg = np.zeros(L)
+            lo = max(0, end - L)
+            seg[L - (end - lo):] = x[lo:end]
+            direct.append(np.sum(seg * np.conj(kern)))
+        direct = np.asarray(direct)
+
+        got = np.asarray(r_mr.data)[0]
+        trunc = np.asarray(r_tr.data)[0]
+        scale = np.abs(direct).max()
+        assert np.abs(got - direct).max() / scale < 2e-2
+        # and the clamp it replaces is much further away
+        assert np.abs(trunc - direct).max() / scale > 1e-1
+
+    def test_batch_and_f32(self):
+        x = self._tone(1.0).astype(np.float32)
+        params = sg.SpectrogramParams(sg.StftParams(256, 64), self.SR)
+        plan = sg.CqtPowerPlan(params, self.P_MR, dtype="float32")
+        xb = np.stack([x, 0.5 * x])
+        fb = np.asarray(plan.compute_batch(xb))
+        f0 = np.asarray(plan.compute(x).data)
+        assert fb.shape == (2,) + plan.output_shape(x.shape[0])
+        np.testing.assert_allclose(fb[0], f0, rtol=1e-5, atol=1e-6 * np.abs(f0).max())
+        np.testing.assert_allclose(fb[1], 0.25 * fb[0], rtol=1e-4,
+                                   atol=1e-6 * np.abs(f0).max())

@@ -377,3 +377,48 @@ def test_column_prune_linear_identity():
         for cp in (False, True)
     )
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3 * np.abs(a).max())
+
+
+def test_dif_variant_matches_packed():
+    """The radix-2 DIF complex-class variant (A/B opt-in) is exact vs the
+    packed outer product, for both the power and chroma-magnitude paths."""
+    from spectrograms_tpu.chroma import chroma_filterbank
+    from spectrograms_tpu.mfcc import _dct_lifter_matrix
+    from spectrograms_tpu.ops.filterbanks import mel_filterbank
+    from spectrograms_tpu.ops.pallas_factored import (
+        KernelConst,
+        fused_factored_features,
+    )
+    from spectrograms_tpu.params import ChromaParams
+    from spectrograms_tpu.windows import make_window
+
+    mel = mel_filterbank(SR, 1024, MEL)
+    dct = _dct_lifter_matrix(128, 40, 22)
+    w = tuple(make_window("hann", 1024, np.float64).tolist())
+    x = np.stack([sine(440.0), noise()]).astype(np.float32)
+    kw = dict(amp="decibels", precision="bf16x3", dct_key=KernelConst(dct),
+              interpret=True)
+    a, b = (
+        np.asarray(
+            fused_factored_features(
+                1024, 256, w, KernelConst(mel), dif=d, **kw
+            )(x)
+        )
+        for d in (False, True)
+    )
+    np.testing.assert_allclose(a, b, atol=5e-3 * np.abs(a).max())
+
+    w4 = tuple(make_window("hann", 4096, np.float64).tolist())
+    fb = chroma_filterbank(44100.0, 4096, ChromaParams())
+    xc = np.stack([sine(440.0, sr=44100.0)]).astype(np.float32)
+    kwc = dict(amp="power", pre_amp="magnitude", precision="bf16x3",
+               interpret=True)
+    ca, cb = (
+        np.asarray(
+            fused_factored_features(
+                4096, 1024, w4, KernelConst(fb), dif=d, **kwc
+            )(xc)
+        )
+        for d in (False, True)
+    )
+    np.testing.assert_allclose(ca, cb, atol=1e-4 * np.abs(ca).max())
