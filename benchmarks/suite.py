@@ -315,13 +315,52 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
     rates = sorted(
         pipe.throughput_report(paths)["audio_s_per_s"] for _ in range(reps)
     )
+
+    # Component rates, so the end-to-end wall is attributable: on this rig
+    # the device sits behind a network tunnel whose per-program dispatch
+    # round-trip (µs on a locally-attached TPU) can reach hundreds of ms —
+    # when it does, it IS the end-to-end bottleneck and the number above
+    # says more about the tunnel than the framework.
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from spectrograms_tpu.runtime.loader import AudioBatchLoader
+
+    t0 = _time.perf_counter()
+    audio = 0.0
+    for _, lengths, _srs in AudioBatchLoader(
+        paths, batch_size=32, target_len=sr * 10, n_threads=4
+    ).iter_borrowed():
+        audio += float(lengths.sum()) / sr
+    loader_rate = audio / (_time.perf_counter() - t0)
+
+    x32 = np.zeros((32, sr * 10), dtype=np.float32)
+    xb = jnp.asarray(x32)
+    jax.block_until_ready(xb)
+    t0 = _time.perf_counter()
+    jax.block_until_ready(jnp.asarray(x32))
+    upload_rate = 320.0 / (_time.perf_counter() - t0)
+
+    fd = pipe._step(xb)
+    jax.block_until_ready(fd)
+    t0 = _time.perf_counter()
+    jax.block_until_ready(pipe._step(xb))
+    dispatch_rate = 320.0 / (_time.perf_counter() - t0)
+
     return {
         "config": "7: end-to-end WAV->mel-dB serving (256x10s PCM16, loader 4 threads)",
         "value": rates[len(rates) // 2],
         "unit": "audio_s/s",
         "range": [rates[0], rates[-1]],
-        "note": "host(loader)-bound; shared 4-core host, range over "
-                f"{reps} full passes",
+        "components_audio_s_per_s": {
+            "loader(4t)": round(loader_rate, 1),
+            "host_to_device": round(upload_rate, 1),
+            "one_program_roundtrip": round(dispatch_rate, 1),
+        },
+        "note": "end-to-end = min of the components; shared 4-core host + "
+                f"tunnel-attached device, range over {reps} full passes",
     }
 
 

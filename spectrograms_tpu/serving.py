@@ -164,9 +164,13 @@ class FeaturePipeline:
             xb = jnp.asarray(data, dtype=self.plan._dtype)
             if self._sharding is not None:
                 xb = jax.device_put(xb, self._sharding)
-            feats = self._step(xb)
             if not on_cpu:
+                # Wait for the upload BEFORE dispatching the compute: once a
+                # consumer of xb is enqueued, block_until_ready(xb) drags the
+                # whole execution queue (~400 ms/batch measured over the
+                # axon tunnel vs ~18 ms for the bare transfer).
                 jax.block_until_ready(xb)
+            feats = self._step(xb)
             yield FeatureBatch(
                 features=feats,
                 lengths=lengths,
