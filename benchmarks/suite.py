@@ -299,10 +299,13 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
     fix_dir = Path(tempfile.gettempdir()) / "sgtpu_bench_wavs"
     fix_dir.mkdir(exist_ok=True)
     rng = np.random.default_rng(0)
+    expected_bytes = 44 + sr * 10 * 2  # RIFF header + 10 s PCM16 mono
     paths = []
     for i in range(n_files):
         p = fix_dir / f"clip_{i:04d}.wav"
-        if not p.exists():
+        # Size-validate cached fixtures: a previous run killed mid-write
+        # leaves a truncated clip that would fail every later run.
+        if not p.exists() or p.stat().st_size != expected_bytes:
             write_wav(p, (0.1 * rng.standard_normal(sr * 10)).astype(np.float32),
                       sr, bits=16)
         paths.append(str(p))
@@ -365,7 +368,7 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
 
 
 def main(argv=None):
-    """Run all six configs, or a subset: ``suite.py 4 6`` runs configs 4
+    """Run all seven configs, or a subset: ``suite.py 4 6`` runs configs 4
     and 6 and merges them into ``results.json`` (a full run over the tunnel
     is ~12 min of remote compiles; subsets make refreshes cheap)."""
     # x64 is scoped to config 1 (jax.enable_x64 context): the TPU configs

@@ -312,9 +312,10 @@ def _kernel(
         # (the lo refs are (8,128) dummies in bf16 mode — don't slice them)
         xx = dot3(y_re, rw_ref[sl, :], rw_lo_ref[sl, :] if x3 else None)
         if raw_real:
-            # One (·,128)@(128,128) dot: Hermitian-in-k₁ packing. Emit the
-            # raw squares; the host-folded map rows sum each bin's re²+im²
-            # pair (and read k₁ > 64 conjugates from the packed low half).
+            # One (·,128)@(128,128) dot: Hermitian-in-k₁ packing (real-class
+            # k₁ never exceeds the packed range — see slot_columns). Emit
+            # the raw squares; the host-folded map rows sum each bin's
+            # re²+im² pair.
             ps[c] = xx * xx
         else:
             ps[c] = xx[:, :128] * xx[:, :128] + xx[:, 128:] * xx[:, 128:]
@@ -530,6 +531,13 @@ def fused_factored_features(
     dif = bool(dif)
     if dif and trunc:
         raise InvalidInputError("dif and column_prune truncation are mutually exclusive")
+    if gauss and (trunc or dif):
+        # Same contract as dif+trunc: an explicit variant request must not be
+        # silently measured as a different variant (A/B integrity).
+        raise InvalidInputError(
+            "gauss=True is incompatible with column_prune truncation / dif "
+            "(those paths use their own outer constants)"
+        )
     use_gauss = (
         False
         if (trunc or dif)
@@ -641,20 +649,24 @@ def fused_factored_features(
     ks_index = {k1: i for i, k1 in enumerate(ks)} if trunc else None
 
     def slot_columns(c: int, k1: int):
-        """Columns of the P block for class c holding bin power parts."""
+        """Columns of the P block for class c holding bin power parts.
+
+        Real-class k₁ is structurally within the packed range: natural bins
+        k ≤ N/2 give k₁ = k//r ≤ 64 (class 0) / ≤ 63 (class r/2), and the
+        c > r/2 mirror never lands in a real class (r−c ∈ [1, r/2−1]) — so
+        no conjugate fold is needed here, only the re/im column pairing.
+        """
         if c == 0:
+            assert k1 <= 64
             if raw_real:
-                if k1 > 64:          # conjugate inside the class
-                    k1 = 128 - k1
                 cols = [k1]
                 if 1 <= k1 <= 63:
                     cols.append(64 + k1)
                 return cols
             return [k1]
         if c == r // 2:
+            assert k1 <= 63
             if raw_real:
-                if k1 > 63:          # X[127−k₁] = conj X[k₁]
-                    k1 = 127 - k1
                 return [k1, 64 + k1]
             return [k1]
         if dif:

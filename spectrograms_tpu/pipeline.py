@@ -737,6 +737,22 @@ class SpectrogramPlan:
         (fixed-shape, zero recompiles after warmup).
         """
         x = self._validate_signal(samples)
+        if getattr(self, "_cqt_multirate", None) is not None and not getattr(
+            self, "_warned_multirate_frame", False
+        ):
+            # compute() runs the octave-stacked full-Q path; a single frame
+            # has no long time context, so this path falls back to the
+            # truncated single-rate kernels — low-octave values differ from
+            # compute()'s (the truncation the multirate flag removes there).
+            import warnings
+
+            warnings.warn(
+                "compute_frame on a multirate CQT plan uses the truncated "
+                "single-rate kernels (a lone frame lacks the low-octave "
+                "context); low-bin values will not match compute()",
+                stacklevel=2,
+            )
+            self._warned_multirate_frame = True
         n = x.shape[0]
         nf = frame_count(n, self._n_fft, self._hop, self._centre)
         if frame_idx < 0 or frame_idx >= nf:

@@ -107,19 +107,7 @@ class AudioBatchLoader:
             yield from self.iter_with_rates()
             return
         lib = self._lib
-        c_paths = (ctypes.c_char_p * len(self.paths))(
-            *[p.encode() for p in self.paths]
-        )
-        h = lib.sg_loader_new(
-            c_paths,
-            len(self.paths),
-            self.batch_size,
-            self.target_len,
-            self._n_threads,
-            self._prefetch,
-        )
-        if not h:
-            raise IOError(lib.sg_last_error().decode("utf-8", "replace"))
+        h = self._new_native_handle()
         try:
             while True:
                 token = ctypes.c_int64(-1)
@@ -193,8 +181,8 @@ class AudioBatchLoader:
             lengths[i] = m
 
     # ---- backends ----------------------------------------------------------
-    def _iter_native(self):
-        """Yields raw (data, lengths, srs, path_idx) native batches."""
+    def _new_native_handle(self):
+        """Create the native loader handle (caller frees with sg_loader_free)."""
         lib = self._lib
         c_paths = (ctypes.c_char_p * len(self.paths))(
             *[p.encode() for p in self.paths]
@@ -209,6 +197,12 @@ class AudioBatchLoader:
         )
         if not h:
             raise IOError(lib.sg_last_error().decode("utf-8", "replace"))
+        return h
+
+    def _iter_native(self):
+        """Yields raw (data, lengths, srs, path_idx) native batches."""
+        lib = self._lib
+        h = self._new_native_handle()
         try:
             while True:
                 data = np.empty((self.batch_size, self.target_len), dtype=np.float32)

@@ -352,3 +352,19 @@ class TestMultirateCqt:
         np.testing.assert_allclose(fb[0], f0, rtol=1e-5, atol=1e-6 * np.abs(f0).max())
         np.testing.assert_allclose(fb[1], 0.25 * fb[0], rtol=1e-4,
                                    atol=1e-6 * np.abs(f0).max())
+
+    def test_compute_frame_warns_once_on_multirate(self):
+        """Streaming compute_frame falls back to truncated single-rate
+        kernels — must warn (once) so compute() vs compute_frame() low-bin
+        disagreement is not silent (round-3 review finding)."""
+        import warnings
+
+        x = self._tone(1.0)
+        params = sg.SpectrogramParams(sg.StftParams(256, 64), self.SR)
+        plan = sg.CqtPowerPlan(params, self.P_MR, dtype="float64")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            plan.compute_frame(x, 0)
+            plan.compute_frame(x, 1)
+        msgs = [str(w.message) for w in caught if "multirate" in str(w.message)]
+        assert len(msgs) == 1 and "single-rate" in msgs[0]
