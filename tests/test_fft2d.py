@@ -131,3 +131,65 @@ def test_planner_class():
     assert np.allclose(
         np.asarray(planner.ifft2d(planner.fft2d(img), 16)), img, atol=1e-10
     )
+
+
+# ---- ported from the reference's Rust image-ops suite (round 3) -------------
+# (/root/reference/tests/images_ops_tests.rs — behaviors the drop-in Python
+# suite does not exercise)
+
+def test_gaussian_kernel_even_sizes_rejected():
+    # images_ops_tests.rs:122 — even sizes must error (no clear centre)
+    for size in (2, 4, 6, 8, 10):
+        with pytest.raises(sg.InvalidInputError):
+            sg.gaussian_kernel_2d(size, 1.0)
+
+
+def test_gaussian_kernel_normalized_and_symmetric():
+    # :34 + :54 — sum 1 and 4-fold symmetry across sizes × sigmas
+    for size in (3, 5, 9, 15):
+        for sigma in (0.5, 1.0, 3.0):
+            k = np.asarray(sg.gaussian_kernel_2d(size, sigma))
+            assert abs(k.sum() - 1.0) < 1e-6
+            np.testing.assert_allclose(k, k[::-1, :], atol=1e-12)
+            np.testing.assert_allclose(k, k[:, ::-1], atol=1e-12)
+            np.testing.assert_allclose(k, k.T, atol=1e-12)
+
+
+def test_convolve_preserves_energy():
+    # :216 — a sum-1 kernel preserves total image sum (wrap-around conv)
+    rng = np.random.default_rng(11)
+    img = rng.standard_normal((32, 32)) + 5.0
+    k = np.asarray(sg.gaussian_kernel_2d(7, 1.5))
+    out = np.asarray(sg.convolve_fft(img, k))
+    assert abs(out.sum() - img.sum()) / abs(img.sum()) < 1e-6
+
+
+def test_highpass_lowpass_complement():
+    # :377 — LP(img) + HP(img) at the same cutoff reconstructs the image
+    rng = np.random.default_rng(12)
+    img = rng.standard_normal((32, 32))
+    lo = np.asarray(sg.lowpass_filter(img, 0.3))
+    hi = np.asarray(sg.highpass_filter(img, 0.3))
+    np.testing.assert_allclose(lo + hi, img, atol=1e-8)
+
+
+def test_sharpen_zero_amount_identity_and_mean_preserved():
+    # :519 + :581
+    i_idx = np.arange(32, dtype=np.float64)
+    img = i_idx[:, None] + i_idx[None, :]
+    out0 = np.asarray(sg.sharpen_fft(img, 0.0))
+    np.testing.assert_allclose(out0, img, atol=1e-8)
+    img2 = np.sin(0.1 * i_idx)[:, None] * np.ones((1, 32)) + 10.0
+    out = np.asarray(sg.sharpen_fft(img2, 1.5))
+    assert abs(out.mean() - img2.mean()) < 0.5
+
+
+def test_cascade_filters_pipeline():
+    # :631 — blur → edge-detect → sharpen cascade stays finite and shaped
+    rng = np.random.default_rng(13)
+    img = rng.standard_normal((48, 48))
+    k = np.asarray(sg.gaussian_kernel_2d(5, 1.0))
+    blurred = sg.convolve_fft(img, k)
+    edges = sg.detect_edges_fft(np.asarray(blurred))
+    sharp = np.asarray(sg.sharpen_fft(np.asarray(edges), 0.8))
+    assert sharp.shape == img.shape and np.isfinite(sharp).all()
