@@ -71,6 +71,7 @@ EXAMPLES = [
     "fft_padding.py",
     "precision_modes.py",
     "trainable_frontend.py",
+    "cqt_multirate.py",
 ]
 
 REPO = Path(__file__).resolve().parents[1]
