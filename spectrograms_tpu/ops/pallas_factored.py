@@ -263,6 +263,7 @@ def _kernel(
     trunc: bool,        # complex classes: needed-k₁ column-pruned constant
     raw_cplx: bool,     # truncated complex emit raw squares (map pairs them)
     dif: bool,          # complex classes: radix-2 DIF stage + two 64-DFT dots
+    x3_stack: bool,     # x3 tier: [a_hi; a_lo] M-stacked dots (2 per product)
 ):
     def dot3(a, b, b_lo=None):
         # Mosaic lowers f32 dots to a single bf16 MXU pass; in x3 mode do the
@@ -272,6 +273,21 @@ def _kernel(
         # on-the-fly split.
         a_hi = a.astype(jnp.bfloat16)
         b_hi = b if b.dtype == jnp.bfloat16 else b.astype(jnp.bfloat16)
+        if x3 and x3_stack:
+            # Same three products in TWO dots: [aₕ; aₗ] @ bₕ computes
+            # aₕbₕ and aₗbₕ in one weight load (identical math — f32
+            # accumulate per product, summed in the same order).
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            if b_lo is None:
+                b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            m = a.shape[0]
+            y2 = jnp.dot(
+                jnp.concatenate([a_hi, a_lo], axis=0), b_hi,
+                preferred_element_type=jnp.float32,
+            )
+            return (y2[:m] + jnp.dot(a_hi, b_lo,
+                                     preferred_element_type=jnp.float32)
+                    ) + y2[m:]
         y = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
         if x3:
             a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -443,6 +459,10 @@ def fused_factored_features(
                                # lane axis + two shared 64-DFT dots (halves
                                # the packed form's contraction depth).
                                # Exact; A/B opt-in — see KERNEL_AB.md.
+    x3_stack=False,            # x3 tier: compute each hi/lo product pair as
+                               # [a_hi; a_lo] @ b_hi + a_hi @ b_lo — two
+                               # dots (one weight load fewer) per dot3.
+                               # Bit-identical; A/B opt-in.
     column_prune=False,        # needed-k₁ pruning + 1-pass real classes.
                                # Exact (max 1.7e-7 rel vs the full layouts)
                                # but measured SLOWER on v5e — chroma-4096
@@ -743,6 +763,7 @@ def fused_factored_features(
         trunc=trunc,
         raw_cplx=raw_cplx,
         dif=dif,
+        x3_stack=bool(x3_stack),
     )
     const_specs = [
         pl.BlockSpec(tuple(g_hi_j.shape), lambda b, i: (0, 0), memory_space=pltpu.VMEM),

@@ -422,3 +422,31 @@ def test_dif_variant_matches_packed():
         for d in (False, True)
     )
     np.testing.assert_allclose(ca, cb, atol=1e-4 * np.abs(ca).max())
+
+
+def test_x3_stack_variant_bit_identical():
+    """x3_stack computes the same three hi/lo products in two dots — must be
+    bit-identical to the default 3-dot form (same accumulation order)."""
+    from spectrograms_tpu.mfcc import _dct_lifter_matrix
+    from spectrograms_tpu.ops.filterbanks import mel_filterbank
+    from spectrograms_tpu.ops.pallas_factored import (
+        KernelConst,
+        fused_factored_features,
+    )
+    from spectrograms_tpu.windows import make_window
+
+    mel = mel_filterbank(SR, 1024, MEL)
+    dct = _dct_lifter_matrix(128, 40, 22)
+    w = tuple(make_window("hann", 1024, np.float64).tolist())
+    x = np.stack([sine(440.0), noise()]).astype(np.float32)
+    kw = dict(amp="decibels", precision="bf16x3", dct_key=KernelConst(dct),
+              interpret=True)
+    a, b = (
+        np.asarray(
+            fused_factored_features(
+                1024, 256, w, KernelConst(mel), x3_stack=st, **kw
+            )(x)
+        )
+        for st in (False, True)
+    )
+    np.testing.assert_array_equal(a, b)

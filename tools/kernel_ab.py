@@ -59,6 +59,8 @@ def build_variants(configs):
             "mfcc/x3-packed (default)": (mk(), xm, 33),
             "mfcc/x3-gauss": (mk(gauss=True), xm, 33),
             "mfcc/x3-dif": (mk(dif=True), xm, 33),
+            "mfcc/x3-stack": (mk(x3_stack=True), xm, 33),
+            "mfcc/x3-dif+stack": (mk(dif=True, x3_stack=True), xm, 33),
             "mfcc/bf16-default": (mk(precision="bf16"), xm, 33),
             "mfcc/bf16-dif": (mk(precision="bf16", dif=True), xm, 33),
         })
