@@ -2881,14 +2881,17 @@ def autotune(candidates, x_sample, *, k1 = 1, k2 = 65, reps = 5):
     """
     ...
 
-def autotune_plan(plan, x_sample, *, methods = None, k1 = 1, k2 = 65, reps = 5, use_wisdom = True):
+def autotune_plan(plan, x_sample, *, methods = None, kernel_variants = False, k1 = 1, k2 = 65, reps = 5, use_wisdom = True):
     """Return the measured-fastest ``method=`` lowering of ``plan``.
 
     ``x_sample`` should have the serving shape — 1-D signal or (B, n) batch;
     the winner is shape-specific. Candidates are semantically equivalent
     within each path's documented accuracy (KERNEL_AB.md). With
     ``use_wisdom`` a previous decision for the same (config, shape, backend)
-    is reused without measuring.
+    is reused without measuring. ``kernel_variants=True`` additionally
+    measures the fused kernel's A/B forms ("pallas:dif" / ":stack" /
+    ":dif+stack" / ":gauss") — one extra remote compile each at tune time,
+    then free via wisdom.
     """
     ...
 

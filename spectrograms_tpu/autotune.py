@@ -226,7 +226,7 @@ def _plan_key(plan, batch_shape) -> str:
     )
 
 
-def _candidate_methods(plan) -> Sequence[str]:
+def _candidate_methods(plan, kernel_variants: bool = False) -> Sequence[str]:
     from .chroma import ChromaPlan
     from .mfcc import MfccPlan
     from .ops.pallas_factored import supports_factored_fusion
@@ -246,6 +246,15 @@ def _candidate_methods(plan) -> Sequence[str]:
         and supports_factored_fusion(stft.n_fft, stft.hop_size, mp._dtype)
     ):
         methods.append("pallas")
+        if kernel_variants:
+            # The exact/equivalent kernel A/B forms (KERNEL_AB.md). Which
+            # wins is chip- and shape-dependent (and drifts with shared-chip
+            # state), so the honest default is: measure on THIS deployment.
+            # Costs one extra remote compile per candidate at tune time;
+            # wisdom makes restarts free.
+            methods += ["pallas:dif", "pallas:stack", "pallas:dif+stack"]
+            if mp.precision != jax.lax.Precision.DEFAULT:
+                methods.append("pallas:gauss")  # bf16 tier is already Gauss
     return methods
 
 
@@ -254,6 +263,7 @@ def autotune_plan(
     x_sample,
     *,
     methods: Optional[Sequence[str]] = None,
+    kernel_variants: bool = False,
     k1: int = 1,
     k2: int = 65,
     reps: int = 5,
@@ -265,7 +275,10 @@ def autotune_plan(
     the winner is shape-specific. Candidates are semantically equivalent
     within each path's documented accuracy (KERNEL_AB.md). With
     ``use_wisdom`` a previous decision for the same (config, shape, backend)
-    is reused without measuring.
+    is reused without measuring. ``kernel_variants=True`` additionally
+    measures the fused kernel's A/B forms ("pallas:dif" / ":stack" /
+    ":dif+stack" / ":gauss") — one extra remote compile each at tune time,
+    then free via wisdom.
     """
     from .chroma import ChromaPlan
     from .mfcc import MfccPlan
@@ -289,7 +302,10 @@ def autotune_plan(
             from_cache=True,
         )
 
-    chosen = methods if methods is not None else _candidate_methods(plan)
+    chosen = (
+        methods if methods is not None
+        else _candidate_methods(plan, kernel_variants=kernel_variants)
+    )
     variants = {}
     for m in chosen:
         try:

@@ -141,12 +141,13 @@ class ChromaPlan:
         sp = SpectrogramParams(stft_params, sample_rate_hz)
         from .ops.pallas_factored import supports_factored_fusion as _sff
 
+        _is_pallas = method.startswith("pallas")
         _use_pallas = (
-            method in ("auto", "pallas")
+            (method == "auto" or _is_pallas)
             and np.dtype(self._dtype) == np.float32
             and precision != jax.lax.Precision.HIGHEST
             and _sff(stft_params.n_fft, stft_params.hop_size, self._dtype)
-            and (method == "pallas" or jax.default_backend() == "tpu")
+            and (_is_pallas or jax.default_backend() == "tpu")
         )
         # The linear-magnitude helper plan backs the non-fused path and the
         # streaming frame API; the fused chroma kernel replaces its forward.
@@ -185,6 +186,8 @@ class ChromaPlan:
 
             window64 = make_window(stft_params.window, stft_params.n_fft, np.float64)
             fb64 = chroma_filterbank(sample_rate_hz, stft_params.n_fft, chroma_params)
+            from .ops.pallas_factored import parse_pallas_method
+
             run = fused_factored_features(
                 stft_params.n_fft,
                 stft_params.hop_size,
@@ -199,6 +202,7 @@ class ChromaPlan:
                 ),
                 centre=stft_params.centre,
                 interpret=jax.default_backend() == "cpu",
+                **(parse_pallas_method(method) if _is_pallas else {}),
             )
 
             def forward(x):

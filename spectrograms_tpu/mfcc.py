@@ -193,6 +193,8 @@ class MfccPlan:
                 basis64 = basis64[:, 1:]
             mapping64 = mel_filterbank(sample_rate_hz, stft_params.n_fft, mel_params)
             window64 = make_window(stft_params.window, stft_params.n_fft, np.float64)
+            from .ops.pallas_factored import parse_pallas_method
+
             run = fused_factored_features(
                 stft_params.n_fft,
                 stft_params.hop_size,
@@ -208,6 +210,7 @@ class MfccPlan:
                 centre=stft_params.centre,
                 dct_key=KernelConst(basis64),
                 interpret=jax.default_backend() == "cpu",
+                **parse_pallas_method(self._mel_plan.method),
             )
             from .ops.gradients import pallas_forward_xla_grad
 

@@ -851,3 +851,39 @@ def fused_factored_features(
 
     run_x32.__wrapped__ = run.__wrapped__
     return run_x32
+
+
+_METHOD_OPTIONS = {
+    # method-string suffix -> fused_factored_features kwarg
+    "dif": ("dif", True),
+    "stack": ("x3_stack", True),
+    "gauss": ("gauss", True),
+    "prune": ("column_prune", True),
+}
+
+
+def parse_pallas_method(method: str) -> dict:
+    """``"pallas[:opt[+opt...]]"`` → fused_factored_features kwargs.
+
+    The kernel's measured A/B variants (``dif``/``stack``/``gauss``/
+    ``prune`` — all semantically equivalent within the tier's documented
+    accuracy, see KERNEL_AB.md) are addressable through the plan ``method=``
+    string, which makes them *autotunable*: ``autotune_plan(...,
+    kernel_variants=True)`` measures them on the live chip and the winner
+    persists in wisdom like any other method. Raises on unknown options or
+    invalid combinations (the factory re-validates combination rules).
+    """
+    if method == "pallas":
+        return {}
+    if not method.startswith("pallas:"):
+        raise InvalidInputError(f"not a pallas method string: {method!r}")
+    kwargs = {}
+    for opt in method[len("pallas:"):].split("+"):
+        if opt not in _METHOD_OPTIONS:
+            raise InvalidInputError(
+                f"unknown pallas option {opt!r}; expected one of "
+                f"{sorted(_METHOD_OPTIONS)} joined with '+'"
+            )
+        k, v = _METHOD_OPTIONS[opt]
+        kwargs[k] = v
+    return kwargs

@@ -225,10 +225,16 @@ def _resolve_method(method: str, n_fft: int, hop: int, dtype, freq_scale,
     from .ops.fft_factored import supports_factored
     from .ops.pallas_factored import supports_factored_fusion
 
-    if method not in ("auto", "matmul", "factored", "fft", "pallas", "f32x2"):
+    if method.startswith("pallas:"):
+        # Kernel-variant strings ("pallas:dif", "pallas:stack", ...) — the
+        # autotunable A/B forms; validate the options eagerly.
+        from .ops.pallas_factored import parse_pallas_method
+
+        parse_pallas_method(method)
+    elif method not in ("auto", "matmul", "factored", "fft", "pallas", "f32x2"):
         raise InvalidInputError(
             f"unknown method {method!r}; expected "
-            "auto/matmul/factored/fft/pallas/f32x2"
+            "auto/matmul/factored/fft/pallas[:variant]/f32x2"
         )
     if method == "f32x2":
         if np.dtype(dtype) != np.float32:
@@ -420,7 +426,9 @@ class SpectrogramPlan:
             len(self.frequencies)
         )
 
-        if self.method in ("matmul", "pallas") and freq_scale != FreqScale.CQT:
+        if (
+            self.method == "matmul" or self.method.startswith("pallas")
+        ) and freq_scale != FreqScale.CQT:
             c, s = rdft_matrices(n_fft, window64, self._dtype)
             # One (n_fft, 2·n_bins) [C | S] constant: a single dot reads the
             # frames once for both re and im (same trick as the CQT kernel).
@@ -450,11 +458,14 @@ class SpectrogramPlan:
         self._n_fft, self._hop, self._centre = n_fft, hop, stft_p.centre
 
         self._pallas_factored = False
-        if self.method == "pallas":
+        if self.method.startswith("pallas"):
             from .ops.pallas_factored import (
                 fused_factored_features,
+                parse_pallas_method,
                 supports_factored_fusion,
             )
+
+            variant_kwargs = parse_pallas_method(self.method)
 
             if freq_scale == FreqScale.CQT:
                 raise InvalidInputError("method='pallas' does not cover CQT plans")
@@ -497,6 +508,7 @@ class SpectrogramPlan:
                 precision=pallas_precision,
                 centre=stft_p.centre,
                 interpret=jax.default_backend() == "cpu",
+                **variant_kwargs,
             )
             # The fused kernel frames internally and handles (n,) and (B, n).
             # Gradients flow through the mathematically-equivalent XLA path
@@ -598,7 +610,7 @@ class SpectrogramPlan:
         else:
             if self.method == "factored":
                 power = self._factored.power(frames)
-            elif self.method in ("matmul", "pallas"):
+            elif self.method == "matmul" or self.method.startswith("pallas"):
                 ri = jnp.matmul(frames, self._dft_cs, precision=self.precision)
                 nb = self._dft_cs.shape[1] // 2
                 re, im = ri[..., :nb], ri[..., nb:]

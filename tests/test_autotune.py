@@ -139,3 +139,61 @@ def test_autotune_validation():
         sg.autotune_plan(plan, np.ones((2, 2, 2), np.float32))
     with pytest.raises(sg.InvalidInputError):
         sg.autotune_plan(object(), np.ones(8, np.float32))
+
+
+# ---- kernel-variant candidates (round 3) -------------------------------------
+
+def test_parse_pallas_method():
+    from spectrograms_tpu.ops.pallas_factored import parse_pallas_method
+
+    assert parse_pallas_method("pallas") == {}
+    assert parse_pallas_method("pallas:dif") == {"dif": True}
+    assert parse_pallas_method("pallas:stack") == {"x3_stack": True}
+    assert parse_pallas_method("pallas:dif+stack") == {
+        "dif": True, "x3_stack": True,
+    }
+    with pytest.raises(sg.InvalidInputError):
+        parse_pallas_method("pallas:bogus")
+    with pytest.raises(sg.InvalidInputError):
+        parse_pallas_method("matmul")
+
+
+def test_variant_method_plans_match_base():
+    """Plans built with variant method strings compute the same features as
+    the base pallas kernel (interpret mode; exact or bit-identical forms)."""
+    params = sg.SpectrogramParams(sg.StftParams(1024, 256), 16000.0)
+    mel = sg.MelParams(64, 0.0, 8000.0, sg.MelNorm.SLANEY)
+    db = sg.LogParams(-80.0)
+    x = np.random.default_rng(3).standard_normal(16000).astype(np.float32)
+    base = np.asarray(
+        sg.MelDbPlan(params, mel, db, dtype="float32", method="pallas").compute_raw(x)
+    )
+    for m in ("pallas:stack", "pallas:dif", "pallas:dif+stack"):
+        out = np.asarray(
+            sg.MelDbPlan(params, mel, db, dtype="float32", method=m).compute_raw(x)
+        )
+        np.testing.assert_allclose(out, base, atol=2e-2, err_msg=m)
+    # invalid combination surfaces at construction
+    with pytest.raises(sg.InvalidInputError):
+        sg.MelDbPlan(params, mel, db, dtype="float32", method="pallas:gauss+dif")
+
+
+def test_candidate_methods_kernel_variants(monkeypatch):
+    import jax
+
+    from spectrograms_tpu.autotune import _candidate_methods
+
+    params = sg.SpectrogramParams(sg.StftParams(1024, 256), 16000.0)
+    mel = sg.MelParams(64, 0.0, 8000.0, sg.MelNorm.SLANEY)
+    plan = sg.MelDbPlan(params, mel, sg.LogParams(-80.0), dtype="float32")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    base = _candidate_methods(plan)
+    ext = _candidate_methods(plan, kernel_variants=True)
+    assert "pallas" in base and "pallas:dif" not in base
+    for m in ("pallas:dif", "pallas:stack", "pallas:dif+stack", "pallas:gauss"):
+        assert m in ext
+    # rebuild works for every variant candidate (no wisdom poison)
+    from spectrograms_tpu.autotune import _rebuild_with_method
+
+    for m in ext:
+        assert _rebuild_with_method(plan, m).method == m
