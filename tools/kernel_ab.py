@@ -82,6 +82,7 @@ def build_variants(configs):
             "chroma/x3-packed (default)": (mkc(), xc, 17),
             "chroma/x3-gauss": (mkc(gauss=True), xc, 17),
             "chroma/x3-dif": (mkc(dif=True), xc, 17),
+            "chroma/x3-stack": (mkc(x3_stack=True), xc, 17),
         })
     return out
 
