@@ -157,6 +157,12 @@ def config4_cqt_chroma_mdct(batch: int = 64):
     vmapped over a clip batch — a single 5 s clip leaves the chip ~200×
     under-occupied (round-1 VERDICT weak #6); realistic serving batches the
     clips into one device program.
+
+    Chroma runs the multirate path (ChromaParams.multirate): the bank is
+    zero above 4186 Hz, so the chromagram is computed on an anti-aliased
+    4×-decimated copy at n_fft=1024 — same bin grid, same frame grid,
+    matches the full-rate chromagram to ~1e-4 relative (tests/test_chroma.py
+    TestMultirateChroma) at ~4× less DFT work.
     """
     import jax
     import jax.numpy as jnp
@@ -170,7 +176,12 @@ def config4_cqt_chroma_mdct(batch: int = 64):
     cqt_plan = sg.CqtPowerPlan(params, cqt, dtype="float32")
     from spectrograms_tpu.chroma import ChromaPlan
 
-    chroma_plan = ChromaPlan(params.stft, float(sr), dtype="float32")
+    chroma_plan = ChromaPlan(
+        params.stft,
+        float(sr),
+        sg.ChromaParams.music_standard().with_multirate(),
+        dtype="float32",
+    )
     mdct_params = sg.MdctParams.sine_window(512)
 
     chroma_fwd = chroma_plan._forward_batch.__wrapped__  # pallas-fused on TPU

@@ -55,3 +55,19 @@ adj = np.asarray(sg.compute_chromagram(
 ).data)
 print(f"446 Hz tone: A-energy share {std[9].mean()/std.mean(axis=(0,1)).sum():.2f} "
       f"(440-tuned) vs {adj[9].mean()/adj.mean(axis=(0,1)).sum():.2f} (446-tuned)")
+
+# --- Multi-rate chroma (beyond-reference fast path) --------------------------
+# The bank is exactly zero above f_max (4186 Hz): with multirate=True the
+# chromagram is computed on an anti-aliased 2^d-decimated copy whose bin grid
+# is unchanged — same values (to ~1e-5 relative), ~4^d x less DFT work. At
+# 22.05 kHz there's headroom for one halving; at 44.1 kHz, two.
+from spectrograms_tpu.chroma import ChromaPlan
+
+multi = ChromaPlan(
+    params.stft, float(sr),
+    sg.ChromaParams.music_standard().with_multirate(),
+    dtype="float32",
+)
+g_multi = np.asarray(multi.compute(signal).data)
+print(f"multirate: decimation 2^{multi._decimation}, "
+      f"max |diff| vs full-rate {np.abs(g_multi - data).max():.2e}")

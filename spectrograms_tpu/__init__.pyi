@@ -414,15 +414,28 @@ class ChromaNorm(Enum):
     MAX = 'max'
 
 class ChromaParams:
-    """Chromagram parameters (12 pitch classes, A4 tuning reference)."""
+    """Chromagram parameters (12 pitch classes, A4 tuning reference).
+
+    ``multirate=True`` lets plans compute the (band-limited) chromagram on
+    an anti-aliased 2^d-decimated copy of the signal when the bank is zero
+    over the discarded band: the DFT bin grid is unchanged
+    (sr/2^d ÷ n_fft/2^d), so the filterbank columns are identical and the
+    result matches the full-rate chromagram to ~1e-3 relative while doing
+    ~4^d× less DFT work. Extension beyond the reference (which always
+    computes the full-rate spectrum, chroma.rs:365-403).
+    """
     tuning: Any = 440.0
     f_min: Any = 32.7
     f_max: Any = 4186.0
     norm: Any = ChromaNorm.L2
     n_octaves: Any = None
+    multirate: Any = False
 
     @staticmethod
     def music_standard():
+        ...
+
+    def with_multirate(self, multirate = True):
         ...
 
     def with_norm(self, norm):

@@ -25,8 +25,14 @@ from .dtypes import parse_dtype
 from .errors import DimensionMismatchError, InvalidInputError
 from .params import ChromaNorm, ChromaParams, SpectrogramParams, StftParams, r2c_output_size
 from .pipeline import AmpScale, FreqScale, SpectrogramPlan
+from .ops.decimate import decimate_pow2_framed
 from .ops.filterbanks import chroma_filterbank
-from .ops.framing import frame_signal
+from .ops.framing import frame_count, frame_signal
+
+# The half-band decimator is flat to ~2e-5 up to this fraction of the
+# decimated Nyquist (63-tap β=9 Kaiser, measured over the DFT grid); the
+# multirate path only engages while the bank's f_max stays below it.
+_HALFBAND_PASSBAND_FRAC = 0.80
 
 __all__ = [
     "Chromagram",
@@ -105,6 +111,31 @@ def apply_chroma_normalization(chroma_t, norm: ChromaNorm):
     return jnp.where(denom > 0, chroma_t / jnp.where(denom == 0, 1.0, denom), chroma_t)
 
 
+def chroma_decimation_depth(
+    sample_rate_hz: float, n_fft: int, hop_size: int, f_max: float
+) -> int:
+    """Largest safe 2^d decimation for a band-limited chroma bank.
+
+    d is bounded by (a) the bank's f_max fitting inside the decimated
+    filter passband, (b) n_fft and hop staying divisible (so the decimated
+    bin/frame grids coincide exactly with the full-rate ones), and
+    (c) the decimated n_fft staying a real FFT size.
+    """
+    d = 0
+    while d < 3:
+        c = d + 1
+        if (
+            n_fft % (2**c) == 0
+            and hop_size % (2**c) == 0
+            and n_fft // (2**c) >= 32
+            and f_max <= _HALFBAND_PASSBAND_FRAC * sample_rate_hz / (2 ** (c + 1))
+        ):
+            d = c
+        else:
+            break
+    return d
+
+
 def chromagram_from_spectrogram(
     spectrogram,
     sample_rate: float,
@@ -138,7 +169,63 @@ class ChromaPlan:
     ):
         self.params = chroma_params
         self._dtype = parse_dtype(dtype)
-        sp = SpectrogramParams(stft_params, sample_rate_hz)
+        from .windows import WindowType, make_window
+
+        # Multi-rate fast path (ChromaParams.multirate): the bank is exactly
+        # zero outside [f_min, f_max], and sr/2^d over n_fft/2^d keeps the
+        # DFT bin grid — the decimated chromagram equals the full-rate one
+        # (×2^d, the window-sum ratio) up to the decimator's ~2e-5 passband
+        # error plus window-sidelobe leakage from the discarded band.
+        d = (
+            chroma_decimation_depth(
+                sample_rate_hz,
+                stft_params.n_fft,
+                stft_params.hop_size,
+                chroma_params.f_max,
+            )
+            if chroma_params.multirate
+            else 0
+        )
+        self._decimation = d
+        window64 = make_window(stft_params.window, stft_params.n_fft, np.float64)
+        if d:
+            # Keep the *full-rate* window sampled on the decimated grid, so
+            # each decimated frame is exactly the continuous windowed frame
+            # sampled coarser (w[2^d·m]·x(t₀+2^d·m·T)). Centre padding is
+            # applied at the FULL rate before decimating (and framing runs
+            # centre=False at the decimated rate): the decimator's edge
+            # transient then sits n_fft/2 samples out, under the window
+            # tails, instead of inside the first/last frames.
+            window64 = np.ascontiguousarray(window64[:: 2**d])
+            stft_eff = StftParams(
+                stft_params.n_fft // 2**d,
+                stft_params.hop_size // 2**d,
+                WindowType.custom(window64),
+                centre=False,
+            )
+            sr_eff = sample_rate_hz / 2**d
+        else:
+            stft_eff, sr_eff = stft_params, sample_rate_hz
+        scale = float(2**d)
+        _centre_pad = stft_params.n_fft // 2 if (d and stft_params.centre) else 0
+
+        # Decimator precision tracks the plan tier: HIGH (bf16x3, ~1e-5)
+        # unless the caller demanded the exact path.
+        _decim_prec = (
+            jax.lax.Precision.HIGHEST
+            if precision == jax.lax.Precision.HIGHEST
+            else jax.lax.Precision.HIGH
+        )
+
+        def _pre(x):
+            # Full-rate centre pad + anti-aliased 2^d decimation (banded
+            # framed matmul — a 1-channel strided conv starves the MXU).
+            if _centre_pad:
+                widths = [(0, 0)] * (x.ndim - 1) + [(_centre_pad, _centre_pad)]
+                x = jnp.pad(x, widths)
+            return decimate_pow2_framed(x, d, precision=_decim_prec)
+
+        sp = SpectrogramParams(stft_eff, sr_eff)
         from .ops.pallas_factored import supports_factored_fusion as _sff
 
         _is_pallas = method.startswith("pallas")
@@ -146,7 +233,7 @@ class ChromaPlan:
             (method == "auto" or _is_pallas)
             and np.dtype(self._dtype) == np.float32
             and precision != jax.lax.Precision.HIGHEST
-            and _sff(stft_params.n_fft, stft_params.hop_size, self._dtype)
+            and _sff(stft_eff.n_fft, stft_eff.hop_size, self._dtype)
             and (_is_pallas or jax.default_backend() == "tpu")
         )
         # The linear-magnitude helper plan backs the non-fused path and the
@@ -160,7 +247,7 @@ class ChromaPlan:
             precision=precision,
         )
         self._fb_t = jnp.asarray(
-            chroma_filterbank(sample_rate_hz, stft_params.n_fft, chroma_params)
+            chroma_filterbank(sr_eff, stft_eff.n_fft, chroma_params)
             .T.astype(self._dtype)
         )
         self._stft_params = stft_params
@@ -168,12 +255,28 @@ class ChromaPlan:
         use_pallas = _use_pallas
         self._pallas_factored = use_pallas
 
+        def _n_frames(x):
+            # Frame count of the *full-rate* signal: the decimated grid can
+            # gain a trailing frame when len(x) isn't a 2^d multiple.
+            return frame_count(
+                x.shape[-1],
+                stft_params.n_fft,
+                stft_params.hop_size,
+                stft_params.centre,
+            )
+
         def xla_forward(x):
+            nf = _n_frames(x)
+            if d:
+                x = _pre(x)
             frames = frame_signal(
-                x, stft_params.n_fft, stft_params.hop_size, stft_params.centre
+                x, stft_eff.n_fft, stft_eff.hop_size, stft_eff.centre
             )
             mag_t = self._mag_plan._frames_to_bins(frames)  # (n_frames, n_bins)
+            mag_t = mag_t[..., :nf, :]
             chroma_t = jnp.matmul(mag_t, self._fb_t, precision=jax.lax.Precision.HIGHEST)
+            if d:
+                chroma_t = chroma_t * scale
             return apply_chroma_normalization(chroma_t, chroma_params.norm).T
 
         if use_pallas:
@@ -182,15 +285,13 @@ class ChromaPlan:
             # reference (chroma.rs:365-403). ~5× fewer MXU MACs than the
             # dense DFT at n_fft=4096.
             from .ops.pallas_factored import KernelConst, fused_factored_features
-            from .windows import make_window
 
-            window64 = make_window(stft_params.window, stft_params.n_fft, np.float64)
-            fb64 = chroma_filterbank(sample_rate_hz, stft_params.n_fft, chroma_params)
+            fb64 = chroma_filterbank(sr_eff, stft_eff.n_fft, chroma_params)
             from .ops.pallas_factored import parse_pallas_method
 
             run = fused_factored_features(
-                stft_params.n_fft,
-                stft_params.hop_size,
+                stft_eff.n_fft,
+                stft_eff.hop_size,
                 tuple(window64.tolist()),
                 KernelConst(fb64),
                 amp="power",
@@ -200,17 +301,25 @@ class ChromaPlan:
                     if precision == jax.lax.Precision.DEFAULT
                     else "bf16x3"
                 ),
-                centre=stft_params.centre,
+                centre=stft_eff.centre,
                 interpret=jax.default_backend() == "cpu",
                 **(parse_pallas_method(method) if _is_pallas else {}),
             )
 
             def forward(x):
-                ct = run(x)  # (12, n_frames)
+                nf = _n_frames(x)
+                ct = run(_pre(x) if d else x)
+                ct = ct[..., :nf]  # (12, n_frames)
+                if d:
+                    ct = ct * scale
                 return apply_chroma_normalization(ct.T, chroma_params.norm).T
 
             def forward_batch(xb):
-                cb = run(xb)  # (B, 12, n_frames)
+                nf = _n_frames(xb)
+                cb = run(_pre(xb) if d else xb)
+                cb = cb[..., :nf]  # (B, 12, n_frames)
+                if d:
+                    cb = cb * scale
                 normed = apply_chroma_normalization(
                     jnp.swapaxes(cb, 1, 2), chroma_params.norm
                 )

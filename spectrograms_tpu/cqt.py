@@ -42,13 +42,16 @@ def multirate_ri_blocks(x, groups_dev, frame_len: int, hop: int, nf: int,
     *untruncated* full-rate correlation. Returns a list of (nf, 2·nb)
     arrays in group (= ascending bin) order.
     """
-    from .ops.decimate import decimate2
+    from .ops.decimate import decimate_pow2_framed
     from .ops.framing import framed_matmul
 
     d_max = max(d for d, _, _ in groups_dev)
     levels = {0: x}
     for d in range(1, d_max + 1):
-        levels[d] = decimate2(levels[d - 1])
+        # One half-band stage per level, lowered as a banded framed matmul
+        # (same taps and zero-extension as decimate2, MXU-native — the
+        # 1-channel conv lowering starves the MXU; see ops/decimate.py).
+        levels[d] = decimate_pow2_framed(levels[d - 1], 1, precision=precision)
 
     outs = []
     for d, k_ri, e0 in groups_dev:

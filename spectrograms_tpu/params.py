@@ -490,18 +490,29 @@ class ChromaNorm(enum.Enum):
 
 @dataclass(frozen=True)
 class ChromaParams:
-    """Chromagram parameters (12 pitch classes, A4 tuning reference)."""
+    """Chromagram parameters (12 pitch classes, A4 tuning reference).
+
+    ``multirate=True`` lets plans compute the (band-limited) chromagram on
+    an anti-aliased 2^d-decimated copy of the signal when the bank is zero
+    over the discarded band: the DFT bin grid is unchanged
+    (sr/2^d ÷ n_fft/2^d), so the filterbank columns are identical and the
+    result matches the full-rate chromagram to ~1e-3 relative while doing
+    ~4^d× less DFT work. Extension beyond the reference (which always
+    computes the full-rate spectrum, chroma.rs:365-403).
+    """
 
     tuning: float = 440.0
     f_min: float = 32.7  # C1
     f_max: float = 4186.0  # C8
     norm: ChromaNorm = ChromaNorm.L2
     n_octaves: Optional[int] = None  # derived ceil(log2(f_max/f_min)) if None
+    multirate: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "tuning", float(self.tuning))
         object.__setattr__(self, "f_min", float(self.f_min))
         object.__setattr__(self, "f_max", float(self.f_max))
+        object.__setattr__(self, "multirate", bool(self.multirate))
         if not (self.tuning > 0.0 and math.isfinite(self.tuning)):
             raise InvalidInputError("tuning must be finite and > 0")
         if not (self.f_min > 0.0 and math.isfinite(self.f_min)):
@@ -519,6 +530,9 @@ class ChromaParams:
 
     def with_norm(self, norm: ChromaNorm) -> "ChromaParams":
         return replace(self, norm=norm)
+
+    def with_multirate(self, multirate: bool = True) -> "ChromaParams":
+        return replace(self, multirate=bool(multirate))
 
 
 @dataclass(frozen=True)
