@@ -161,7 +161,7 @@ def config4_cqt_chroma_mdct(batch: int = 64):
     Chroma runs the multirate path (ChromaParams.multirate): the bank is
     zero above 4186 Hz, so the chromagram is computed on an anti-aliased
     4×-decimated copy at n_fft=1024 — same bin grid, same frame grid,
-    matches the full-rate chromagram to ~1e-4 relative (tests/test_chroma.py
+    matches the full-rate chromagram to ~1e-5 relative (tests/test_chroma.py
     TestMultirateChroma) at ~4× less DFT work.
     """
     import jax

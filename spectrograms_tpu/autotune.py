@@ -149,10 +149,13 @@ def _rebuild_with_method(plan, method: str):
             precision=mp.precision,
         )
     if isinstance(plan, ChromaPlan):
+        # NOT _mag_plan.params.sample_rate_hz: under ChromaParams.multirate
+        # the helper plan holds the *decimated* rate — rebuilding with it
+        # would silently build a full-rate plan for the wrong rate.
         mp = plan._mag_plan
         return type(plan)(
             plan._stft_params,
-            mp.params.sample_rate_hz,
+            plan._sample_rate_hz,
             chroma_params=plan.params,
             dtype=plan._dtype,
             method=method,

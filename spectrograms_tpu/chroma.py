@@ -169,6 +169,9 @@ class ChromaPlan:
     ):
         self.params = chroma_params
         self._dtype = parse_dtype(dtype)
+        # The plan's own (full) rate: _mag_plan holds the *decimated* rate
+        # under multirate, so rebuilders (autotune) must read this instead.
+        self._sample_rate_hz = float(sample_rate_hz)
         from .windows import WindowType, make_window
 
         # Multi-rate fast path (ChromaParams.multirate): the bank is exactly

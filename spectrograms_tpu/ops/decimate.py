@@ -137,13 +137,14 @@ def decimate_pow2_framed(x, d: int, precision=None, hop: int | None = None):
     Numerically equivalent to :func:`decimate_pow2_strided` away from the
     signal ends (within a composite-filter length of the edges the cascade
     truncates its intermediate, the composite doesn't). A 1-channel strided
-    conv leaves 127 of the MXU's 128 lanes idle — measured ~40× slower than
-    this formulation on v5e at the chroma batch shape.
+    conv leaves 127 of the MXU's 128 lanes idle — measured 13× slower
+    (3.77 vs 0.29 ms) on v5e at the config-4 chroma batch shape.
 
-    ``hop`` is the framed-matmul block hop; the default 64·2^d makes the
-    dot's output width J = hop/2^d = 64 lanes — the measured sweet spot on
-    v5e (hop 64/J=16: 0.91 ms, 256/J=64: 0.34, 512/J=128: 0.47 at the
-    config-4 batch shape; wider tiles pay more MACs than they win back).
+    ``hop`` is the framed-matmul block hop (must be a positive multiple of
+    2^d); the default 64·2^d makes the dot's output width J = hop/2^d = 64
+    lanes — the measured sweet spot on v5e (hop 64/J=16: 0.91 ms,
+    256/J=64: 0.29, 512/J=128: 0.39 at the config-4 batch shape; wider
+    tiles pay more MACs than they win back — see docs/KERNEL_AB.md).
     """
     if d == 0:
         return x
@@ -153,6 +154,11 @@ def decimate_pow2_framed(x, d: int, precision=None, hop: int | None = None):
 
     D = 2**d
     H = hop if hop is not None else 64 * D
+    if H <= 0 or H % D != 0:
+        raise ValueError(
+            f"hop must be a positive multiple of 2^d = {D}, got {H}: each "
+            "frame must advance a whole number of output samples"
+        )
     n = x.shape[-1]
     n_out = -(-n // D)  # ceil, matching the strided cascade's length
     M, F, J, m = _framed_decim_plan(d, np.dtype(x.dtype).name, H)

@@ -197,3 +197,33 @@ def test_candidate_methods_kernel_variants(monkeypatch):
 
     for m in ext:
         assert _rebuild_with_method(plan, m).method == m
+
+
+def test_rebuild_preserves_multirate_chroma():
+    """autotune's rebuild must keep the plan's FULL sample rate: under
+    ChromaParams.multirate the helper plan holds the decimated rate, and a
+    rebuild at that rate would silently produce a wrong full-rate plan."""
+    import numpy as np
+
+    import spectrograms_tpu as sg
+    from spectrograms_tpu.autotune import _rebuild_with_method
+    from spectrograms_tpu.chroma import ChromaPlan
+
+    sr = 44100.0
+    plan = ChromaPlan(
+        sg.StftParams(4096, 1024),
+        sr,
+        sg.ChromaParams.music_standard().with_multirate(),
+        dtype="float32",
+    )
+    assert plan._decimation == 2
+    rebuilt = _rebuild_with_method(plan, "auto")
+    assert rebuilt._decimation == plan._decimation
+    assert rebuilt._sample_rate_hz == sr
+    t = np.arange(int(sr * 0.4)) / sr
+    x = sum(np.sin(2 * np.pi * 220.0 * k * t) / k for k in range(1, 10)).astype(
+        np.float32
+    )
+    a = np.asarray(plan.compute(x).data)
+    b = np.asarray(rebuilt.compute(x).data)
+    assert np.abs(a - b).max() <= 1e-6 * np.abs(a).max()
