@@ -64,3 +64,22 @@ def test_sequence_parallel_uses_only_halo_and_gather():
     # halo exchange = collective-permutes; one terminal gather for the output
     assert ops.count("all-gather") <= 1, ops
     assert ops.count("collective-permute") >= 1, ops
+
+
+def test_multirate_chroma_dp_has_zero_collectives():
+    """The multirate chroma forward (banded framed-matmul decimation +
+    fused pipeline) is per-signal independent: DP must stay collective-free."""
+    mesh = create_device_mesh((8,), ("data",))
+    plan = sg.ChromaPlan(
+        sg.StftParams(4096, 1024),
+        44100.0,
+        sg.ChromaParams.music_standard().with_multirate(),
+        dtype="float32",
+    )
+    assert plan._decimation == 2
+    fn = data_parallel_pipeline(plan._forward, mesh)
+    x = jax.device_put(
+        np.zeros((16, 44100), np.float32), NamedSharding(mesh, P("data"))
+    )
+    hlo = fn.lower(x).compile().as_text()
+    assert _collective_ops(hlo) == [], "multirate chroma DP must not communicate"
