@@ -262,11 +262,27 @@ class MelNorm(Enum):
 
 
 class MelParams:
-    """Mel filterbank parameters (n_mels, f_min, f_max, norm)."""
+    """Mel filterbank parameters (n_mels, f_min, f_max, norm).
+
+    ``multirate=True`` lets plans compute the (band-limited) mel features
+    on an anti-aliased 2^d-decimated copy of the signal when f_max leaves
+    headroom below the decimated Nyquist: the DFT bin grid is unchanged,
+    so the filterbank columns are identical and values match the full-rate
+    plan to ~1e-5 relative to the spectral peak, at ~4^d× less DFT work.
+    (Bins ≳50 dB below the peak hold only window-leakage energy; there the
+    decimated copy folds different leakage tails and per-bin dB values may
+    differ at their own tiny magnitude.) Exact no-op when f_max is at/near
+    Nyquist (e.g. the 16 kHz speech presets). Extension beyond the
+    reference, which always computes the full-rate spectrum.
+    """
     n_mels: Any
     f_min: Any
     f_max: Any
     norm: Any = MelNorm.NONE
+    multirate: Any = False
+
+    def with_multirate(self, multirate = True):
+        ...
 
     @staticmethod
     def with_norm(n_mels, f_min, f_max, norm):
@@ -274,10 +290,16 @@ class MelParams:
 
 
 class LogHzParams:
-    """Log-spaced linear-interpolation frequency axis parameters."""
+    """Log-spaced linear-interpolation frequency axis parameters.
+
+    ``multirate=True`` — see :class:`MelParams`: the 1–2-tap interpolation
+    matrix is zero above f_max, so the same decimated-copy fast path
+    applies.
+    """
     n_bins: Any
     f_min: Any
     f_max: Any
+    multirate: Any = False
 
     @staticmethod
     def music_standard():
@@ -287,6 +309,9 @@ class LogHzParams:
     @staticmethod
     def standard(sample_rate):
         """128 log bins from 20 Hz to Nyquist."""
+        ...
+
+    def with_multirate(self, multirate = True):
         ...
 
 

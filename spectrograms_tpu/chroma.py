@@ -25,14 +25,9 @@ from .dtypes import parse_dtype
 from .errors import DimensionMismatchError, InvalidInputError
 from .params import ChromaNorm, ChromaParams, SpectrogramParams, StftParams, r2c_output_size
 from .pipeline import AmpScale, FreqScale, SpectrogramPlan
-from .ops.decimate import decimate_pow2_framed
+from .ops.decimate import band_limited_decimation_depth, decimate_pow2_framed
 from .ops.filterbanks import chroma_filterbank
 from .ops.framing import frame_count, frame_signal
-
-# The half-band decimator is flat to ~2e-5 up to this fraction of the
-# decimated Nyquist (63-tap β=9 Kaiser, measured over the DFT grid); the
-# multirate path only engages while the bank's f_max stays below it.
-_HALFBAND_PASSBAND_FRAC = 0.80
 
 __all__ = [
     "Chromagram",
@@ -111,29 +106,9 @@ def apply_chroma_normalization(chroma_t, norm: ChromaNorm):
     return jnp.where(denom > 0, chroma_t / jnp.where(denom == 0, 1.0, denom), chroma_t)
 
 
-def chroma_decimation_depth(
-    sample_rate_hz: float, n_fft: int, hop_size: int, f_max: float
-) -> int:
-    """Largest safe 2^d decimation for a band-limited chroma bank.
-
-    d is bounded by (a) the bank's f_max fitting inside the decimated
-    filter passband, (b) n_fft and hop staying divisible (so the decimated
-    bin/frame grids coincide exactly with the full-rate ones), and
-    (c) the decimated n_fft staying a real FFT size.
-    """
-    d = 0
-    while d < 3:
-        c = d + 1
-        if (
-            n_fft % (2**c) == 0
-            and hop_size % (2**c) == 0
-            and n_fft // (2**c) >= 32
-            and f_max <= _HALFBAND_PASSBAND_FRAC * sample_rate_hz / (2 ** (c + 1))
-        ):
-            d = c
-        else:
-            break
-    return d
+# The shared band-limited depth rule; kept under the historical name used
+# by the chroma tests/docs.
+chroma_decimation_depth = band_limited_decimation_depth
 
 
 def chromagram_from_spectrogram(

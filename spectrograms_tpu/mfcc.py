@@ -165,23 +165,35 @@ class MfccPlan:
             ).astype(self._dtype)
         )
 
+        # Multi-rate mel front end (MelParams.multirate): the mel plan
+        # computes on a 2^d-decimated copy; the DCT tail is rate-agnostic.
+        _mr = getattr(self._mel_plan, "_multirate_inner", None)
+        _mr_inner = _mr[1] if _mr is not None else None
+
         def xla_forward(x):
             from .ops.framing import frame_signal
 
-            frames = frame_signal(
-                x,
-                stft_params.n_fft,
-                stft_params.hop_size,
-                stft_params.centre,
-            )
-            log_mel_t = self._mel_plan._frames_to_bins(frames)  # (n_frames, n_mels)
+            if _mr_inner is not None:
+                # Multirate-aware route (decimate → inner plan → trim).
+                log_mel_t = self._mel_plan._forward_impl(x).T
+            else:
+                frames = frame_signal(
+                    x,
+                    stft_params.n_fft,
+                    stft_params.hop_size,
+                    stft_params.centre,
+                )
+                log_mel_t = self._mel_plan._frames_to_bins(frames)
             return _mfcc_core(
                 log_mel_t, self._basis, mfcc_params.include_c0, mfcc_params.n_mfcc
             ).T
 
-        if getattr(self._mel_plan, "_pallas_factored", False):
-            # Fold the DCT (and C0 drop) straight into the fused kernel:
-            # signal in → liftered MFCCs out, one Pallas program.
+        # Fold the DCT (and C0 drop) straight into the fused kernel:
+        # signal in → liftered MFCCs out, one Pallas program. Under
+        # multirate the kernel is built at the INNER (decimated) geometry
+        # and fed the pre-scaled decimated signal.
+        _kernel_plan = _mr_inner if _mr_inner is not None else self._mel_plan
+        if getattr(_kernel_plan, "_pallas_factored", False):
             from .ops.filterbanks import mel_filterbank
             from .ops.pallas_factored import KernelConst, fused_factored_features
             from .windows import make_window
@@ -191,13 +203,17 @@ class MfccPlan:
             )
             if not mfcc_params.include_c0 and mfcc_params.n_mfcc > 1:
                 basis64 = basis64[:, 1:]
-            mapping64 = mel_filterbank(sample_rate_hz, stft_params.n_fft, mel_params)
-            window64 = make_window(stft_params.window, stft_params.n_fft, np.float64)
+            k_stft = _kernel_plan.params.stft
+            k_sr = _kernel_plan.params.sample_rate_hz
+            mapping64 = mel_filterbank(
+                k_sr, k_stft.n_fft, mel_params.with_multirate(False)
+            )
+            window64 = make_window(k_stft.window, k_stft.n_fft, np.float64)
             from .ops.pallas_factored import parse_pallas_method
 
             run = fused_factored_features(
-                stft_params.n_fft,
-                stft_params.hop_size,
+                k_stft.n_fft,
+                k_stft.hop_size,
                 tuple(window64.tolist()),
                 KernelConst(mapping64),
                 amp="decibels",
@@ -207,17 +223,36 @@ class MfccPlan:
                     if self._mel_plan.precision == jax.lax.Precision.DEFAULT
                     else "bf16x3"
                 ),
-                centre=stft_params.centre,
+                centre=k_stft.centre,
                 dct_key=KernelConst(basis64),
                 interpret=jax.default_backend() == "cpu",
-                **parse_pallas_method(self._mel_plan.method),
+                **parse_pallas_method(_kernel_plan.method),
             )
             from .ops.gradients import pallas_forward_xla_grad
 
-            self._forward = pallas_forward_xla_grad(run, xla_forward)
-            self._forward_batch = pallas_forward_xla_grad(
-                run, jax.vmap(xla_forward)
-            )
+            if _mr_inner is not None:
+                from .ops.framing import frame_count as _fc
+
+                def _mr_run(x):
+                    nf = _fc(
+                        x.shape[-1],
+                        stft_params.n_fft,
+                        stft_params.hop_size,
+                        stft_params.centre,
+                    )
+                    return run(self._mel_plan._mr_pre(x))[..., :nf]
+
+                self._forward = pallas_forward_xla_grad(
+                    jax.jit(_mr_run), xla_forward
+                )
+                self._forward_batch = pallas_forward_xla_grad(
+                    jax.jit(_mr_run), jax.vmap(xla_forward)
+                )
+            else:
+                self._forward = pallas_forward_xla_grad(run, xla_forward)
+                self._forward_batch = pallas_forward_xla_grad(
+                    run, jax.vmap(xla_forward)
+                )
         else:
             self._forward = jax.jit(xla_forward)
             self._forward_batch = jax.jit(jax.vmap(xla_forward))

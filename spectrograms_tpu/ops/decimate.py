@@ -30,7 +30,40 @@ __all__ = [
     "decimate_pow2_strided",
     "composite_taps",
     "decimate_pow2_framed",
+    "band_limited_decimation_depth",
 ]
+
+# The half-band decimator is flat to ~2e-5 up to this fraction of the
+# decimated Nyquist (63-tap β=9 Kaiser, measured over the DFT grid);
+# band-limited multirate paths only engage while the bank's f_max stays
+# below it.
+HALFBAND_PASSBAND_FRAC = 0.80
+
+
+def band_limited_decimation_depth(
+    sample_rate_hz: float, n_fft: int, hop_size: int, f_max: float
+) -> int:
+    """Largest safe 2^d decimation for a bank that is zero above ``f_max``.
+
+    d is bounded by (a) f_max fitting inside the decimated filter passband,
+    (b) n_fft and hop staying divisible (so the decimated bin/frame grids
+    coincide exactly with the full-rate ones), and (c) the decimated n_fft
+    staying a real FFT size. Shared by the multirate chroma / mel / log-Hz
+    plan paths.
+    """
+    d = 0
+    while d < 3:
+        c = d + 1
+        if (
+            n_fft % (2**c) == 0
+            and hop_size % (2**c) == 0
+            and n_fft // (2**c) >= 32
+            and f_max <= HALFBAND_PASSBAND_FRAC * sample_rate_hz / (2 ** (c + 1))
+        ):
+            d = c
+        else:
+            break
+    return d
 
 
 @lru_cache(maxsize=4)

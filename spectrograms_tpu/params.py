@@ -280,18 +280,32 @@ class MelNorm(enum.Enum):
 
 @dataclass(frozen=True)
 class MelParams:
-    """Mel filterbank parameters (n_mels, f_min, f_max, norm)."""
+    """Mel filterbank parameters (n_mels, f_min, f_max, norm).
+
+    ``multirate=True`` lets plans compute the (band-limited) mel features
+    on an anti-aliased 2^d-decimated copy of the signal when f_max leaves
+    headroom below the decimated Nyquist: the DFT bin grid is unchanged,
+    so the filterbank columns are identical and values match the full-rate
+    plan to ~1e-5 relative to the spectral peak, at ~4^d× less DFT work.
+    (Bins ≳50 dB below the peak hold only window-leakage energy; there the
+    decimated copy folds different leakage tails and per-bin dB values may
+    differ at their own tiny magnitude.) Exact no-op when f_max is at/near
+    Nyquist (e.g. the 16 kHz speech presets). Extension beyond the
+    reference, which always computes the full-rate spectrum.
+    """
 
     n_mels: int
     f_min: float
     f_max: float
     norm: MelNorm = MelNorm.NONE
+    multirate: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "n_mels", _check_positive_int("n_mels", self.n_mels))
         object.__setattr__(self, "f_min", float(self.f_min))
         object.__setattr__(self, "f_max", float(self.f_max))
         object.__setattr__(self, "norm", MelNorm.parse(self.norm))
+        object.__setattr__(self, "multirate", bool(self.multirate))
         if self.f_min < 0.0:
             raise InvalidInputError("f_min must be >= 0")
         if self.f_max <= self.f_min:
@@ -301,23 +315,36 @@ class MelParams:
     def with_norm(n_mels: int, f_min: float, f_max: float, norm) -> "MelParams":
         return MelParams(n_mels, f_min, f_max, norm)
 
+    def with_multirate(self, multirate: bool = True) -> "MelParams":
+        return replace(self, multirate=bool(multirate))
+
 
 @dataclass(frozen=True)
 class LogHzParams:
-    """Log-spaced linear-interpolation frequency axis parameters."""
+    """Log-spaced linear-interpolation frequency axis parameters.
+
+    ``multirate=True`` — see :class:`MelParams`: the 1–2-tap interpolation
+    matrix is zero above f_max, so the same decimated-copy fast path
+    applies.
+    """
 
     n_bins: int
     f_min: float
     f_max: float
+    multirate: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "n_bins", _check_positive_int("n_bins", self.n_bins))
         object.__setattr__(self, "f_min", float(self.f_min))
         object.__setattr__(self, "f_max", float(self.f_max))
+        object.__setattr__(self, "multirate", bool(self.multirate))
         if not (self.f_min > 0.0 and math.isfinite(self.f_min)):
             raise InvalidInputError("f_min must be finite and > 0")
         if self.f_max <= self.f_min:
             raise InvalidInputError("f_max must be > f_min")
+
+    def with_multirate(self, multirate: bool = True) -> "LogHzParams":
+        return replace(self, multirate=bool(multirate))
 
     @staticmethod
     def standard(sample_rate: float) -> "LogHzParams":

@@ -40,6 +40,7 @@ from .params import (
     LogParams,
     MelParams,
     SpectrogramParams,
+    StftParams,
     r2c_output_size,
 )
 from .windows import make_window
@@ -536,6 +537,89 @@ class SpectrogramPlan:
 
             self._forward_x2 = jax.jit(_fx2)
 
+        # ---- band-limited multirate fast path ---------------------------
+        # MelParams/LogHzParams(multirate=True): the mapping is exactly zero
+        # above f_max, so when f_max leaves headroom below the decimated
+        # Nyquist the whole pipeline runs on an anti-aliased 2^d-decimated
+        # copy — identical bin grid (sr/2^d ÷ n_fft/2^d ⇒ identical mapping
+        # columns), identical frame grid (centre pad applied at the full
+        # rate), the decimated signal pre-scaled by 2^d so |X|, |X|², and dB
+        # all match the full-rate plan (~1e-5 relative) at ~4^d× less DFT
+        # work. Same construction as ChromaParams.multirate (chroma.py).
+        self._multirate_inner = None
+        if (
+            freq_scale in (FreqScale.MEL, FreqScale.LOG_HZ)
+            and getattr(scale_params, "multirate", False)
+            and self.method != "f32x2"  # the dd tier stays exact full-rate
+        ):
+            from .ops.decimate import (
+                band_limited_decimation_depth,
+                decimate_pow2_framed,
+            )
+            from .windows import WindowType
+
+            dmr = band_limited_decimation_depth(
+                sr, n_fft, hop, scale_params.f_max
+            )
+            if method.startswith("pallas"):
+                # An explicitly-requested kernel must stay constructible at
+                # the decimated geometry (n_fft ≥ 256): cap the depth rather
+                # than erroring on a size the user never wrote.
+                while dmr and n_fft // 2**dmr < 256:
+                    dmr -= 1
+            if dmr:
+                win_d = np.ascontiguousarray(window64[:: 2**dmr])
+                inner = SpectrogramPlan(
+                    SpectrogramParams(
+                        StftParams(
+                            n_fft // 2**dmr,
+                            hop // 2**dmr,
+                            WindowType.custom(win_d),
+                            centre=False,
+                        ),
+                        sr / 2**dmr,
+                    ),
+                    freq_scale,
+                    amp_scale,
+                    scale_params=scale_params.with_multirate(False),
+                    log_params=log_params,
+                    dtype=self._dtype,
+                    method=method,
+                    precision=self.precision,
+                )
+                pad_amt = n_fft // 2 if stft_p.centre else 0
+                gain = np.asarray(2.0**dmr, dtype=self._dtype)
+                decim_prec = (
+                    jax.lax.Precision.HIGHEST
+                    if self.precision == jax.lax.Precision.HIGHEST
+                    else jax.lax.Precision.HIGH
+                )
+
+                def _mr_pre(x):
+                    # Full-rate centre pad, anti-aliased decimation (banded
+                    # framed matmul), and the 2^d gain that restores the
+                    # full-rate DFT scale (X_full = 2^d · X_dec).
+                    if pad_amt:
+                        widths = [(0, 0)] * (x.ndim - 1) + [(pad_amt, pad_amt)]
+                        x = jnp.pad(x, widths)
+                    return decimate_pow2_framed(x, dmr, precision=decim_prec) * gain
+
+                def _mr_nf(x):
+                    # Full-rate frame count: the decimated grid can gain a
+                    # trailing frame when len(x) is not a 2^d multiple.
+                    return frame_count(x.shape[-1], n_fft, hop, stft_p.centre)
+
+                def _mr_fwd(x):
+                    return inner._forward(_mr_pre(x))[..., : _mr_nf(x)]
+
+                def _mr_fwd_batch(xb):
+                    return inner._forward_batch(_mr_pre(xb))[..., : _mr_nf(xb)]
+
+                self._multirate_inner = (dmr, inner)
+                self._mr_pre = _mr_pre
+                self._forward = jax.jit(_mr_fwd)
+                self._forward_batch = jax.jit(_mr_fwd_batch)
+
     # ---- core math ------------------------------------------------------
     def _bins_x2(self, frames):
         """f32x2 tier: (n_frames, n_fft) frames → ((hi, lo), (n_frames, n_out)).
@@ -631,6 +715,13 @@ class SpectrogramPlan:
 
     def _forward_impl(self, x):
         dt = self._dtype
+        if self._multirate_inner is not None:
+            # Pure-XLA multirate route (shardable/differentiable like the
+            # rest of this method); the jitted _forward/_forward_batch use
+            # the inner plan's fast (possibly Pallas) path instead.
+            _, inner = self._multirate_inner
+            nf = frame_count(x.shape[-1], self._n_fft, self._hop, self._centre)
+            return inner._forward_impl(self._mr_pre(x))[..., :nf]
         if self.freq_scale == FreqScale.CQT:
             if self._cqt_multirate is not None:
                 from .cqt import multirate_ri_blocks
@@ -762,6 +853,20 @@ class SpectrogramPlan:
                 "compute_frame on a multirate CQT plan uses the truncated "
                 "single-rate kernels (a lone frame lacks the low-octave "
                 "context); low-bin values will not match compute()",
+                stacklevel=2,
+            )
+            self._warned_multirate_frame = True
+        if self._multirate_inner is not None and not getattr(
+            self, "_warned_multirate_frame", False
+        ):
+            import warnings
+
+            # Unlike the CQT case this is a ~1e-5 relative difference, not a
+            # semantic one — but bit-equality with compute() is gone.
+            warnings.warn(
+                "compute_frame on a multirate mel/log-Hz plan runs the "
+                "full-rate path; values match compute()'s decimated path to "
+                "~1e-5 relative, not bitwise",
                 stacklevel=2,
             )
             self._warned_multirate_frame = True
