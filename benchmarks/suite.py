@@ -1,5 +1,6 @@
 """Full benchmark suite: the five BASELINE.json configs + a bf16 serving-mode
-config (6) + an end-to-end loader-bound serving config (7).
+config (6) + an end-to-end loader-bound serving config (7) + an on-chip
+f64-grade config (8) + a multirate band-limited-features config (9).
 
 Each config prints one JSON line; a summary dict is written to
 ``benchmarks/results.json``. Run on the TPU (default backend) or with
@@ -320,6 +321,57 @@ def config8_linear_power_f32x2_tpu():
     }
 
 
+def config9_multirate_mel_mfcc():
+    """Band-limited features from music-rate audio: multirate vs full rate.
+
+    44.1 kHz clips, mel-80 capped at 4 kHz + MFCC-13 — the "speech-band
+    features from music-rate audio" serving shape. ``multirate=True``
+    runs the whole pipeline on an anti-aliased 8×-decimated copy with an
+    identical bin/frame grid (ops/decimate.py); the full-rate plan is the
+    reference's always-full-spectrum behavior (spectrogram.rs mel path).
+    Reports both times, the speedup, and the max relative error between
+    the two (claimed ~1e-5 relative-to-peak).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import spectrograms_tpu as sg
+    from spectrograms_tpu.mfcc import MfccPlan
+
+    sr = 44100
+    batch = np.random.default_rng(5).standard_normal((32, sr * 10)).astype(np.float32)
+    mel_full = sg.MelParams(80, 0.0, 4000.0, sg.MelNorm.SLANEY)
+
+    def build(mel):
+        return MfccPlan(
+            sg.StftParams(2048, 512),
+            float(sr),
+            mel_params=mel,
+            mfcc_params=sg.MfccParams(13),
+            dtype="float32",
+        )
+
+    plan_full = build(mel_full)
+    plan_multi = build(mel_full.with_multirate())
+    xb = jax.device_put(jnp.asarray(batch))
+    dt_full = _slope_time(_chain(plan_full._forward_batch.__wrapped__), xb, k2=33)
+    dt_multi = _slope_time(_chain(plan_multi._forward_batch.__wrapped__), xb, k2=65)
+    # Equivalence certificate on a small slice (full fetch is tunnel-bound).
+    small = batch[:2, : sr * 2]
+    a = np.asarray(plan_full.compute_batch(small))
+    b = np.asarray(plan_multi.compute_batch(small))
+    rel = float(np.abs(a - b).max() / np.abs(a).max())
+    return {
+        "config": "9: multirate mel80(<=4kHz)+MFCC-13 batch 32x10s@44.1kHz f32",
+        "value": round(dt_multi * 1e3, 4),
+        "unit": "ms/batch",
+        "audio_s_per_s": round(320.0 / dt_multi, 1),
+        "fullrate_ms": round(dt_full * 1e3, 4),
+        "speedup_vs_fullrate": round(dt_full / dt_multi, 2),
+        "max_rel_err_vs_fullrate": rel,
+    }
+
+
 _CONFIGS = {
     1: "config1_linear_power_f64",
     2: "config2_mel_db_batch",
@@ -329,6 +381,7 @@ _CONFIGS = {
     6: "config6_mfcc_bf16_serving",
     7: "config7_end_to_end",
     8: "config8_linear_power_f32x2_tpu",
+    9: "config9_multirate_mel_mfcc",
 }
 
 
@@ -422,7 +475,7 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
 
 
 def main(argv=None):
-    """Run all seven configs, or a subset: ``suite.py 4 6`` runs configs 4
+    """Run all configs, or a subset: ``suite.py 4 6`` runs configs 4
     and 6 and merges them into ``results.json`` (a full run over the tunnel
     is ~12 min of remote compiles; subsets make refreshes cheap)."""
     # x64 is scoped to config 1 (jax.enable_x64 context): the TPU configs
@@ -432,7 +485,10 @@ def main(argv=None):
     selected = sorted(int(a) for a in argv) if argv else sorted(_CONFIGS)
     unknown = [n for n in selected if n not in _CONFIGS]
     if unknown:
-        raise SystemExit(f"unknown config number(s) {unknown}; choose from 1-7")
+        raise SystemExit(
+            f"unknown config number(s) {unknown}; choose from "
+            f"{min(_CONFIGS)}-{max(_CONFIGS)}"
+        )
 
     out = Path(__file__).parent / "results.json"
     merged = {}

@@ -6,6 +6,15 @@ never needed (single-process crate) but a TPU framework does.
 """
 
 import os
+import sys
+from pathlib import Path
+
+# Run against the checkout even when the editable install is absent (fresh
+# container): the repo root is prepended so `import spectrograms_tpu` always
+# resolves to this tree.
+_REPO_ROOT = str(Path(__file__).resolve().parents[1])
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 # The axon TPU plugin force-sets JAX_PLATFORMS=axon in the environment, so the
 # env var alone is not enough — jax.config.update below is authoritative.

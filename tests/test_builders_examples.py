@@ -79,7 +79,9 @@ REPO = Path(__file__).resolve().parents[1]
 
 @pytest.mark.parametrize("example", EXAMPLES)
 def test_example_runs(example):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # PYTHONPATH makes the example subprocess independent of the editable
+    # install. (It would break axon plugin registration, but these run CPU.)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
     proc = subprocess.run(
         [sys.executable, str(REPO / "examples" / example)],
         capture_output=True,

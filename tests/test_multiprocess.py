@@ -31,6 +31,9 @@ def test_two_process_data_parallel(tmp_path):
     outs = [tmp_path / f"p{i}.json" for i in range(2)]
     env = os.environ.copy()
     env.pop("JAX_PLATFORMS", None)  # worker forces cpu itself
+    # Independent of the editable install (workers run CPU, so PYTHONPATH
+    # interfering with axon plugin registration is not a concern here).
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = [
         subprocess.Popen(
             [sys.executable, _WORKER, str(i), "2", str(port), str(outs[i])],

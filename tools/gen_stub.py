@@ -18,7 +18,14 @@ import inspect
 import sys
 from pathlib import Path
 
-import jax
+import os
+
+# Resolve the package from this checkout even without the editable install.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
