@@ -102,3 +102,18 @@ def test_register_type_before_builtins():
     p = sg.StftParams(256, 64)
     assert serde.from_json(serde.to_json(p)) == p
     assert serde.from_dict(serde.to_dict(Custom(5))) == Custom(5)
+
+
+def test_multirate_params_roundtrip():
+    """The multirate flag (round-3 extension) must survive serialization."""
+    for p in (
+        sg.MelParams(80, 0.0, 4000.0, sg.MelNorm.SLANEY, multirate=True),
+        sg.LogHzParams(64, 50.0, 4000.0, multirate=True),
+        sg.CqtParams(12, 7, 32.703).with_multirate(),
+        sg.ChromaParams.music_standard().with_multirate()
+        if hasattr(sg.ChromaParams, "music_standard")
+        else sg.ChromaParams(12).with_multirate(),
+    ):
+        q = serde.from_json(serde.to_json(p))
+        assert q == p
+        assert q.multirate is True
