@@ -140,3 +140,35 @@ def test_pipeline_autotune_with_mesh_measures_shard_size(clips):
         assert batch.features.shape[0] == 8
     finally:
         sg.clear_wisdom()
+
+
+def test_pipeline_multirate_plan_matches_fullrate(clips):
+    """The serving route (padded+masked _forward_impl) with a multirate
+    mel plan must agree with the full-rate plan on real loader batches."""
+    paths, _ = clips
+    mel_lo = sg.MelParams(64, 0.0, 2000.0, sg.MelNorm.SLANEY)
+
+    def run(mel):
+        plan = sg.MelDbPlan(PARAMS, mel, sg.LogParams(-80.0), dtype="float32")
+        pipe = FeaturePipeline(plan, batch_size=3, target_seconds=1.0)
+        return [
+            (np.asarray(b.features), np.asarray(b.frame_mask), b.lengths)
+            for b in pipe.run(paths)
+        ]
+
+    full = run(mel_lo)
+    multi = run(mel_lo.with_multirate())
+    # The decimated depth must actually engage for this config.
+    plan = sg.MelDbPlan(
+        PARAMS, mel_lo.with_multirate(), sg.LogParams(-80.0), dtype="float32"
+    )
+    assert plan._multirate_inner is not None
+    assert len(full) == len(multi)
+    for (fa, ma, la), (fb, mb, lb) in zip(full, multi):
+        np.testing.assert_array_equal(ma, mb)
+        np.testing.assert_array_equal(la, lb)
+        # dB accuracy contract: tight on energetic bins, loose on
+        # leakage-floor bins (see tests/test_multirate.py).
+        valid = ma[:, None, :] & (fa > fa.max() - 50.0)
+        assert np.abs(fa - fb)[valid].max() <= 5e-3
+        assert np.abs((fa - fb) * ma[:, None, :]).max() <= 2.0
