@@ -227,3 +227,43 @@ def test_rebuild_preserves_multirate_chroma():
     a = np.asarray(plan.compute(x).data)
     b = np.asarray(rebuilt.compute(x).data)
     assert np.abs(a - b).max() <= 1e-6 * np.abs(a).max()
+
+
+def test_rebuild_preserves_multirate_mel_and_mfcc():
+    """Same property for the band-limited mel path: rebuilding a multirate
+    MelDbPlan / MfccPlan under a different method must keep the full-rate
+    geometry, the decimation depth, and the outputs."""
+    import numpy as np
+
+    import spectrograms_tpu as sg
+    from spectrograms_tpu.autotune import _rebuild_with_method
+    from spectrograms_tpu.mfcc import MfccPlan
+
+    sr = 44100.0
+    stft = sg.StftParams(2048, 512)
+    mel = sg.MelParams(64, 0.0, 4000.0, sg.MelNorm.SLANEY, multirate=True)
+    x = np.random.default_rng(3).standard_normal(int(sr * 0.4)).astype(np.float32)
+
+    plan = sg.MelDbPlan(
+        sg.SpectrogramParams(stft, sr), mel, sg.LogParams(-80.0), dtype="float32"
+    )
+    assert plan._multirate_inner is not None
+    rebuilt = _rebuild_with_method(plan, "fft")
+    assert rebuilt._multirate_inner is not None
+    assert rebuilt._multirate_inner[0] == plan._multirate_inner[0]
+    assert rebuilt.params.sample_rate_hz == sr
+    a = np.asarray(plan.compute(x).data)
+    b = np.asarray(rebuilt.compute(x).data)
+    energetic = a > a.max() - 50.0
+    assert np.abs(a - b)[energetic].max() <= 5e-3
+
+    mfcc = MfccPlan(
+        stft, sr, mel_params=mel, mfcc_params=sg.MfccParams(13), dtype="float32"
+    )
+    assert mfcc._mel_plan._multirate_inner is not None
+    mre = _rebuild_with_method(mfcc, "fft")
+    assert mre._mel_plan._multirate_inner is not None
+    assert mre._mel_plan.params.sample_rate_hz == sr
+    am = np.asarray(mfcc.compute(x).data)
+    bm = np.asarray(mre.compute(x).data)
+    assert np.abs(am - bm).max() <= 1e-3 * np.abs(am).max()
