@@ -39,6 +39,24 @@ def sequence_parallel_spectrogram(plan: SpectrogramPlan, mesh: Mesh, axis: str =
     n_dev = mesh.shape[axis]
     halo_len = n_fft - hop if n_fft > hop else 0
 
+    if getattr(plan, "_multirate_inner", None) is not None or getattr(
+        plan, "_cqt_multirate", None
+    ) is not None:
+        import warnings
+
+        # The shard-local step consumes full-rate frames (the halo contract
+        # is sized for them), so the multirate route cannot engage here.
+        # Mel/log-Hz: ~1e-5 relative difference vs compute(). Multirate CQT:
+        # full-rate means the *truncated*-kernel semantics — low bins can
+        # differ materially from compute()'s octave-stacked values.
+        warnings.warn(
+            "sequence_parallel_spectrogram computes multirate plans at the "
+            "full rate (mel/log-Hz: ~1e-5 relative vs compute(); CQT: "
+            "truncated-kernel low bins). Use data parallelism "
+            "(parallel.data) to keep the multirate path.",
+            stacklevel=2,
+        )
+
     def build(x_len: int):
         n_frames = frame_count(x_len, n_fft, hop, centre)
         pad_left = n_fft // 2 if centre else 0

@@ -183,3 +183,35 @@ class TestMultirateMfcc:
         cb = np.asarray(plan.compute_batch(xb))
         c0 = np.asarray(plan.compute(x).data)
         assert np.abs(cb[0] - c0).max() <= 1e-3 * np.abs(c0).max() + 1e-2
+
+
+class TestSequenceParallel:
+    def test_seq_parallel_warns_and_matches_fullrate(self):
+        """sequence_parallel_spectrogram consumes full-rate frames, so the
+        multirate route cannot engage: it must warn and agree with the
+        FULL-RATE plan exactly (not the decimated one approximately)."""
+        import warnings
+
+        import jax
+        from spectrograms_tpu.parallel import (
+            create_device_mesh,
+            sequence_parallel_spectrogram,
+        )
+
+        mesh = create_device_mesh((len(jax.devices()),), ("time",))
+        params = sg.SpectrogramParams(STFT, SR)
+        multi = sg.MelPowerPlan(params, MEL.with_multirate(), dtype="float32")
+        assert multi._multirate_inner is not None
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            fn = sequence_parallel_spectrogram(multi, mesh, axis="time")
+        assert any("full rate" in str(w.message) for w in rec)
+
+        full = sg.MelPowerPlan(params, MEL, dtype="float32")
+        x = _music()
+        a = np.asarray(fn(x))
+        b = np.asarray(full.compute_raw(x))
+        assert a.shape == b.shape
+        # f32 lowering differences only (relative-to-peak), NOT the ~1e-5
+        # multirate decimation signature — proves the full-rate route ran.
+        assert np.abs(a - b).max() <= 1e-5 * np.abs(b).max()
