@@ -12,7 +12,16 @@ sub-millisecond programs. Baseline = the same pipeline in NumPy on the host
 CPU (librosa-equivalent math), so ``vs_baseline`` is the ">10× librosa-CPU
 audio-seconds/s per chip" criterion.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Degraded-window hardening (round-3 VERDICT weak #1): the shared chip/tunnel
+shows 1.2–2× slow windows that come and go (docs/KERNEL_AB.md probe
+protocol). A single-shot headline taken inside one is fragile reporting, so
+the slope is sampled in ``N_SESSIONS`` sessions spread over a few minutes
+and the **median** session slope is the number of record, with the session
+spread and a ``chip_health`` field (committed healthy-class ms / measured
+ms; < 0.9 ⇒ the run itself was degraded and says so).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"chip_health", "spread_ms", "status"}.
 """
 
 from __future__ import annotations
@@ -29,6 +38,12 @@ SR = 16000
 N_FFT, HOP = 1024, 256
 N_MELS, N_MFCC = 128, 40
 K1, K2, REPS = 1, 65, 5
+# Sessions of the slope measurement spread over the run; median wins.
+N_SESSIONS, SESSION_GAP_S = 5, 30.0
+# Healthy-window class of this exact workload: 0.265 ms/batch sustained and
+# re-verified across rounds (BASELINE.md round-3 table; the probe protocol
+# at the end of docs/KERNEL_AB.md). chip_health = class / measured.
+COMMITTED_CLASS_MS = 0.265
 
 
 def _signals() -> np.ndarray:
@@ -57,8 +72,13 @@ def _flagship_plan():
     )
 
 
-def bench_tpu(batch: np.ndarray) -> "tuple[float, float]":
-    """Returns (audio_seconds_per_s, seconds_per_batch) measured on device."""
+def bench_tpu(batch: np.ndarray) -> "tuple[float, float, list]":
+    """Returns (audio_s/s, s/batch, per-session s/batch) measured on device.
+
+    The per-batch time is the median over ``N_SESSIONS`` slope samples taken
+    ``SESSION_GAP_S`` apart (compile once, sample repeatedly) so one degraded
+    chip window cannot own the headline.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -101,15 +121,27 @@ def bench_tpu(batch: np.ndarray) -> "tuple[float, float]":
     floor_dt = profiling.plan_cost(
         plan2._mel_plan, batch.shape[1], batch=BATCH
     ).flops / (profiling.detect_chip().bf16_tflops * 1e12 * 1.2)
-    slopes = []
-    for _ in range(3):
-        dt = (timed(f2) - timed(f1)) / (K2 - K1)
-        if dt > floor_dt:
-            slopes.append(dt)
-    if not slopes:  # pathological noise — fall back to the K2 measurement
-        slopes = [timed(f2) / K2]
-    dt = min(slopes)
-    return BATCH * CLIP_SECONDS / dt, dt
+
+    def one_session() -> float:
+        slopes = []
+        for _ in range(3):
+            s = (timed(f2) - timed(f1)) / (K2 - K1)
+            if s > floor_dt:
+                slopes.append(s)
+        if not slopes:  # pathological noise — fall back to the K2 measurement
+            slopes = [timed(f2) / K2]
+        return min(slopes)
+
+    sessions = []
+    for i in range(N_SESSIONS):
+        if i:
+            time.sleep(SESSION_GAP_S)
+        sessions.append(one_session())
+        print(f"# session {i + 1}/{N_SESSIONS}: {sessions[-1]*1e3:.3f} ms/batch",
+              file=sys.stderr)
+    ordered = sorted(sessions)
+    dt = ordered[len(ordered) // 2]
+    return BATCH * CLIP_SECONDS / dt, dt, sessions
 
 
 def _numpy_mel_mfcc(batch: np.ndarray, mel_fb: np.ndarray, dct: np.ndarray,
@@ -150,11 +182,12 @@ def main() -> None:
     batch = _signals()
     baseline = bench_numpy_baseline(batch)
     try:
-        ours, dt = bench_tpu(batch)
+        ours, dt, sessions = bench_tpu(batch)
     except Exception as e:  # transient remote-compile failures (HTTP 500)
         print(f"# bench_tpu attempt 1 failed ({type(e).__name__}); retrying",
               file=sys.stderr)
-        ours, dt = bench_tpu(batch)
+        ours, dt, sessions = bench_tpu(batch)
+    chip_health = COMMITTED_CLASS_MS / (dt * 1e3)
     print(
         json.dumps(
             {
@@ -162,6 +195,14 @@ def main() -> None:
                 "value": round(ours, 1),
                 "unit": "audio_s/s",
                 "vs_baseline": round(ours / baseline, 2),
+                "chip_health": round(chip_health, 3),
+                "spread_ms": [round(min(sessions) * 1e3, 3),
+                              round(max(sessions) * 1e3, 3)],
+                "status": "healthy" if chip_health >= 0.9 else
+                          "degraded chip/tunnel window (median of "
+                          f"{N_SESSIONS} sessions over "
+                          f"{(N_SESSIONS-1)*SESSION_GAP_S:.0f}s still "
+                          f"{1/chip_health:.2f}x the committed class)",
             }
         )
     )

@@ -354,7 +354,9 @@ def config9_multirate_mel_mfcc():
     plan_full = build(mel_full)
     plan_multi = build(mel_full.with_multirate())
     xb = jax.device_put(jnp.asarray(batch))
-    dt_full = _slope_time(_chain(plan_full._forward_batch.__wrapped__), xb, k2=33)
+    # Same k2 for both legs so each slope carries the same signal margin
+    # over the dispatch-floor noise (round-3 ADVICE).
+    dt_full = _slope_time(_chain(plan_full._forward_batch.__wrapped__), xb, k2=65)
     dt_multi = _slope_time(_chain(plan_multi._forward_batch.__wrapped__), xb, k2=65)
     # Equivalence certificate on a small slice (full fetch is tunnel-bound).
     small = batch[:2, : sr * 2]

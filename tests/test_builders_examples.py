@@ -81,7 +81,12 @@ REPO = Path(__file__).resolve().parents[1]
 def test_example_runs(example):
     # PYTHONPATH makes the example subprocess independent of the editable
     # install. (It would break axon plugin registration, but these run CPU.)
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    prev = os.environ.get("PYTHONPATH", "")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH=str(REPO) + (os.pathsep + prev if prev else ""),
+    )
     proc = subprocess.run(
         [sys.executable, str(REPO / "examples" / example)],
         capture_output=True,

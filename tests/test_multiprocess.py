@@ -33,7 +33,9 @@ def test_two_process_data_parallel(tmp_path):
     env.pop("JAX_PLATFORMS", None)  # worker forces cpu itself
     # Independent of the editable install (workers run CPU, so PYTHONPATH
     # interfering with axon plugin registration is not a concern here).
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo + (os.pathsep + prev if prev else "")
     procs = [
         subprocess.Popen(
             [sys.executable, _WORKER, str(i), "2", str(port), str(outs[i])],

@@ -170,5 +170,6 @@ def test_pipeline_multirate_plan_matches_fullrate(clips):
         # dB accuracy contract: tight on energetic bins, loose on
         # leakage-floor bins (see tests/test_multirate.py).
         valid = ma[:, None, :] & (fa > fa.max() - 50.0)
+        assert valid.any(), "degenerate batch: no energetic unmasked bins"
         assert np.abs(fa - fb)[valid].max() <= 5e-3
         assert np.abs((fa - fb) * ma[:, None, :]).max() <= 2.0
