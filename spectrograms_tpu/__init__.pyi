@@ -2472,7 +2472,7 @@ class FeaturePipeline:
     >>> for batch in pipe.run(paths):
     ...     train_step(batch.masked())
     """
-    def __init__(self, plan, batch_size, target_seconds, sample_rate_hz = None, mesh = None, data_axis = 'data', n_threads = 4, prefetch_batches = 4, on_rate_mismatch = 'error', autotune = False):
+    def __init__(self, plan, batch_size, target_seconds, sample_rate_hz = None, mesh = None, data_axis = 'data', n_threads = 4, prefetch_batches = 4, on_rate_mismatch = 'error', autotune = False, transport = 'float32'):
         """Construct and validate; raises InvalidInputError on bad arguments."""
         ...
 

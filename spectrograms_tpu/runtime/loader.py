@@ -18,6 +18,17 @@ __all__ = ["AudioBatchLoader"]
 _RATE_POLICIES = ("error", "resample", "ignore")
 
 
+def _quantize_i16(x: np.ndarray) -> np.ndarray:
+    """Nearest-LSB full-scale quantization (matches the native i16 decode).
+
+    Round-trips PCM16-decoded floats exactly: read_wav gives v/32768, and
+    rint(v/32768 · 32768) = v.
+    """
+    return np.clip(np.rint(np.asarray(x) * 32768.0), -32768, 32767).astype(
+        np.int16
+    )
+
+
 class AudioBatchLoader:
     """Iterate (batch, lengths) padded float32 batches decoded off-thread.
 
@@ -35,6 +46,12 @@ class AudioBatchLoader:
     file at a different rate, ``'resample'`` converts mismatched rows with a
     Kaiser-windowed-sinc resampler, ``'ignore'`` restores the old unchecked
     behavior. Use :meth:`iter_with_rates` to see the raw per-row rates.
+
+    ``dtype='int16'`` ships raw PCM rows instead of f32 — half the bytes
+    over the host→device link; the consumer dequantizes with the exact
+    ``x * (1/32768)``. Bit-exact vs the float path for mono PCM16 sources
+    (the samples are transported verbatim); other formats quantize to the
+    nearest LSB (≤ ~3e-5 of full scale).
     """
 
     def __init__(
@@ -46,6 +63,7 @@ class AudioBatchLoader:
         prefetch_batches: int = 4,
         expected_sample_rate: Optional[int] = None,
         on_rate_mismatch: str = "error",
+        dtype: str = "float32",
     ):
         if batch_size <= 0 or target_len <= 0:
             raise InvalidInputError("batch_size and target_len must be positive")
@@ -53,6 +71,12 @@ class AudioBatchLoader:
             raise InvalidInputError(
                 f"on_rate_mismatch must be one of {_RATE_POLICIES}, got {on_rate_mismatch!r}"
             )
+        if dtype not in ("float32", "int16"):
+            raise InvalidInputError(
+                f"loader dtype must be 'float32' or 'int16', got {dtype!r}"
+            )
+        self.dtype = dtype
+        self._i16 = dtype == "int16"
         self.paths: List[str] = [str(p) for p in paths]
         if not self.paths:
             raise InvalidInputError("paths must be non-empty")
@@ -107,15 +131,17 @@ class AudioBatchLoader:
             yield from self.iter_with_rates()
             return
         lib = self._lib
+        acquire = lib.sg_loader_acquire_i16 if self._i16 else lib.sg_loader_acquire
+        sample_ctype = ctypes.c_int16 if self._i16 else ctypes.c_float
         h = self._new_native_handle()
         try:
             while True:
                 token = ctypes.c_int64(-1)
-                p_data = ctypes.POINTER(ctypes.c_float)()
+                p_data = ctypes.POINTER(sample_ctype)()
                 p_len = ctypes.POINTER(ctypes.c_int64)()
                 p_sr = ctypes.POINTER(ctypes.c_int32)()
                 p_idx = ctypes.POINTER(ctypes.c_int64)()
-                n = lib.sg_loader_acquire(
+                n = acquire(
                     h, ctypes.byref(token), ctypes.byref(p_data),
                     ctypes.byref(p_len), ctypes.byref(p_sr), ctypes.byref(p_idx),
                 )
@@ -176,8 +202,10 @@ class AudioBatchLoader:
             need = int(np.ceil(self.target_len * float(sr) / float(expected))) + 256
             converted = resample(sig[:need], float(sr), float(expected))
             m = min(converted.shape[0], self.target_len)
-            data[i, :] = 0.0
-            data[i, :m] = converted[:m]
+            data[i, :] = 0
+            data[i, :m] = (
+                _quantize_i16(converted[:m]) if self._i16 else converted[:m]
+            )
             lengths[i] = m
 
     # ---- backends ----------------------------------------------------------
@@ -187,13 +215,14 @@ class AudioBatchLoader:
         c_paths = (ctypes.c_char_p * len(self.paths))(
             *[p.encode() for p in self.paths]
         )
-        h = lib.sg_loader_new(
+        h = lib.sg_loader_new2(
             c_paths,
             len(self.paths),
             self.batch_size,
             self.target_len,
             self._n_threads,
             self._prefetch,
+            1 if self._i16 else 0,
         )
         if not h:
             raise IOError(lib.sg_last_error().decode("utf-8", "replace"))
@@ -202,16 +231,19 @@ class AudioBatchLoader:
     def _iter_native(self):
         """Yields raw (data, lengths, srs, path_idx) native batches."""
         lib = self._lib
+        nxt = lib.sg_loader_next_i16 if self._i16 else lib.sg_loader_next
+        np_dtype = np.int16 if self._i16 else np.float32
+        sample_ctype = ctypes.c_int16 if self._i16 else ctypes.c_float
         h = self._new_native_handle()
         try:
             while True:
-                data = np.empty((self.batch_size, self.target_len), dtype=np.float32)
+                data = np.empty((self.batch_size, self.target_len), dtype=np_dtype)
                 lengths = np.empty((self.batch_size,), dtype=np.int64)
                 srs = np.empty((self.batch_size,), dtype=np.int32)
                 path_idx = np.empty((self.batch_size,), dtype=np.int64)
-                n = lib.sg_loader_next(
+                n = nxt(
                     h,
-                    data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    data.ctypes.data_as(ctypes.POINTER(sample_ctype)),
                     lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                     srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                     path_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -225,16 +257,19 @@ class AudioBatchLoader:
             lib.sg_loader_free(h)
 
     def _iter_py(self):
+        np_dtype = np.int16 if self._i16 else np.float32
         for start in range(0, len(self.paths), self.batch_size):
             chunk = self.paths[start : start + self.batch_size]
-            data = np.zeros((self.batch_size, self.target_len), dtype=np.float32)
+            data = np.zeros((self.batch_size, self.target_len), dtype=np_dtype)
             lengths = np.zeros((self.batch_size,), dtype=np.int64)
             srs = np.zeros((self.batch_size,), dtype=np.int32)
             path_idx = np.full((self.batch_size,), -1, dtype=np.int64)
             for i, p in enumerate(chunk):
                 sig, sr = read_wav(p, mono=True)
                 n = min(sig.shape[0], self.target_len)
-                data[i, :n] = sig[:n]
+                data[i, :n] = (
+                    _quantize_i16(sig[:n]) if self._i16 else sig[:n]
+                )
                 lengths[i] = n
                 srs[i] = sr
                 path_idx[i] = start + i

@@ -130,6 +130,42 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int64,
         c.POINTER(c.c_int32),
     ]
+
+    # int16 transport mode (PCM16 rows shipped verbatim, device dequantizes).
+    lib.sg_loader_new2.restype = c.c_void_p
+    lib.sg_loader_new2.argtypes = [
+        c.POINTER(c.c_char_p),
+        c.c_int64,
+        c.c_int64,
+        c.c_int64,
+        c.c_int32,
+        c.c_int32,
+        c.c_int32,
+    ]
+    lib.sg_loader_next_i16.restype = c.c_int64
+    lib.sg_loader_next_i16.argtypes = [
+        c.c_void_p,
+        c.POINTER(c.c_int16),
+        c.POINTER(c.c_int64),
+        c.POINTER(c.c_int32),
+        c.POINTER(c.c_int64),
+    ]
+    lib.sg_loader_acquire_i16.restype = c.c_int64
+    lib.sg_loader_acquire_i16.argtypes = [
+        c.c_void_p,
+        c.POINTER(c.c_int64),
+        c.POINTER(c.POINTER(c.c_int16)),
+        c.POINTER(c.POINTER(c.c_int64)),
+        c.POINTER(c.POINTER(c.c_int32)),
+        c.POINTER(c.POINTER(c.c_int64)),
+    ]
+    lib.sg_wav_decode_into_i16.restype = c.c_int64
+    lib.sg_wav_decode_into_i16.argtypes = [
+        c.c_char_p,
+        c.POINTER(c.c_int16),
+        c.c_int64,
+        c.POINTER(c.c_int32),
+    ]
     return lib
 
 

@@ -474,3 +474,97 @@ def test_iter_borrowed_applies_resample_policy(tmp_path):
     ref = np.sin(2 * np.pi * 440.0 * np.arange(8000) / 8000.0)
     core = slice(100, 7800)  # away from filter edges
     assert np.max(np.abs(data[0][core] - ref[core])) < 5e-3
+
+
+# ---- int16 transport mode ----------------------------------------------------
+
+def test_loader_int16_matches_float_exactly(tmp_path):
+    # PCM16 sources: the int16 rows are the file's samples verbatim, so
+    # dequantizing by the exact 1/32768 reproduces the float rows bitwise.
+    lengths = [1000, 2000, 1500, 800, 3000, 10]
+    paths = _write_clips(tmp_path, lengths)
+    kw = dict(batch_size=3, target_len=2500, n_threads=2)
+    f32 = [
+        (d.copy(), l.copy(), s.copy())
+        for d, l, s in AudioBatchLoader(paths, **kw).iter_with_rates()
+    ]
+    i16 = [
+        (d.copy(), l.copy(), s.copy())
+        for d, l, s in AudioBatchLoader(paths, dtype="int16", **kw).iter_with_rates()
+    ]
+    assert len(f32) == len(i16)
+    for (da, la, sa), (db, lb, sb) in zip(f32, i16):
+        assert db.dtype == np.int16
+        np.testing.assert_array_equal(da, db.astype(np.float32) / 32768.0)
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(sa, sb)
+
+
+def test_loader_int16_borrowed_matches_copy(tmp_path):
+    paths = _write_clips(tmp_path, [1200, 700, 2600])
+    kw = dict(batch_size=2, target_len=2000, dtype="int16")
+    copied = [
+        (d.copy(), l.copy())
+        for d, l, _ in AudioBatchLoader(paths, **kw).iter_with_rates()
+    ]
+    borrowed = [
+        (d.copy(), l.copy())
+        for d, l, _ in AudioBatchLoader(paths, **kw).iter_borrowed()
+    ]
+    assert len(copied) == len(borrowed)
+    for (da, la), (db, lb) in zip(copied, borrowed):
+        assert da.dtype == db.dtype == np.int16
+        np.testing.assert_array_equal(da, db)
+        np.testing.assert_array_equal(la, lb)
+
+
+def test_loader_int16_python_fallback_matches_native(tmp_path):
+    paths = _write_clips(tmp_path, [900, 1800])
+    kw = dict(batch_size=2, target_len=1500, dtype="int16")
+    native_loader = AudioBatchLoader(paths, **kw)
+    py_loader = AudioBatchLoader(paths, **kw)
+    py_loader._lib = None  # force the synchronous Python decode path
+    a = [(d.copy(), l.copy()) for d, l, _ in native_loader.iter_with_rates()]
+    b = [(d.copy(), l.copy()) for d, l, _ in py_loader.iter_with_rates()]
+    for (da, la), (db, lb) in zip(a, b):
+        np.testing.assert_array_equal(da, db)
+        np.testing.assert_array_equal(la, lb)
+
+
+@pytest.mark.skipif(not NATIVE, reason="native library unavailable")
+def test_loader_int16_float_wav_quantizes(tmp_path):
+    # Non-PCM16 sources go through the float decode + nearest-LSB quantize.
+    sr = 8000
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-0.99, 0.99, size=sr).astype(np.float32)
+    p = tmp_path / "f32.wav"
+    write_wav(p, x, sr, bits=32)
+    loader = AudioBatchLoader([p], batch_size=1, target_len=sr, dtype="int16")
+    (data, lens, srs), = list(loader.iter_with_rates())
+    assert data.dtype == np.int16 and lens[0] == sr
+    np.testing.assert_allclose(
+        data[0].astype(np.float64) / 32768.0, x, atol=0.5 / 32768.0 + 1e-9
+    )
+
+
+def test_loader_int16_resample_policy(tmp_path):
+    x = np.sin(2 * np.pi * 440.0 * np.arange(16000) / 16000.0).astype(np.float32)
+    p = tmp_path / "hi16.wav"
+    write_wav(p, x, 16000, bits=16)
+    loader = AudioBatchLoader(
+        [p], batch_size=1, target_len=8000, dtype="int16",
+        expected_sample_rate=8000, on_rate_mismatch="resample",
+    )
+    (data, lens, srs), = list(loader.iter_borrowed())
+    assert data.dtype == np.int16
+    assert srs[0] == 16000 and lens[0] == 8000
+    ref = np.sin(2 * np.pi * 440.0 * np.arange(8000) / 8000.0)
+    core = slice(100, 7800)  # away from filter edges
+    got = data[0].astype(np.float64) / 32768.0
+    assert np.max(np.abs(got[core] - ref[core])) < 5e-3
+
+
+def test_loader_rejects_bad_dtype(tmp_path):
+    paths = _write_clips(tmp_path, [100])
+    with pytest.raises(sg.InvalidInputError, match="dtype"):
+        AudioBatchLoader(paths, batch_size=1, target_len=100, dtype="int8")

@@ -173,3 +173,49 @@ def test_pipeline_multirate_plan_matches_fullrate(clips):
         assert valid.any(), "degenerate batch: no energetic unmasked bins"
         assert np.abs(fa - fb)[valid].max() <= 5e-3
         assert np.abs((fa - fb) * ma[:, None, :]).max() <= 2.0
+
+
+def test_pipeline_int16_transport_matches_float(clips):
+    # PCM16 sources: int16 transport is bit-exact vs float transport — the
+    # rows ship verbatim and the device dequantizes by the same exact
+    # power-of-two 1/32768 the host decode would use.
+    paths, _ = clips
+    out_f32 = [
+        (np.asarray(b.features), b.lengths.copy())
+        for b in FeaturePipeline(
+            _plan(), batch_size=3, target_seconds=1.0
+        ).run(paths)
+    ]
+    pipe = FeaturePipeline(
+        _plan(), batch_size=3, target_seconds=1.0, transport="int16"
+    )
+    out_i16 = [(np.asarray(b.features), b.lengths.copy()) for b in pipe.run(paths)]
+    assert len(out_f32) == len(out_i16)
+    for (fa, la), (fb, lb) in zip(out_f32, out_i16):
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(fa, fb)
+
+
+def test_pipeline_int16_transport_on_mesh(clips):
+    paths, _ = clips
+    from spectrograms_tpu.parallel import create_device_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = create_device_mesh((2,), ("data",), jax.devices()[:2])
+    pipe = FeaturePipeline(
+        _plan(), batch_size=4, target_seconds=1.0, mesh=mesh,
+        transport="int16",
+    )
+    ref = FeaturePipeline(_plan(), batch_size=4, target_seconds=1.0)
+    got = [np.asarray(b.features) for b in pipe.run(paths)]
+    want = [np.asarray(b.features) for b in ref.run(paths)]
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
+def test_pipeline_rejects_bad_transport():
+    with pytest.raises(sg.InvalidInputError, match="transport"):
+        FeaturePipeline(
+            _plan(), batch_size=2, target_seconds=1.0, transport="int8"
+        )

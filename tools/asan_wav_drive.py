@@ -11,11 +11,18 @@ lib.sg_wav_decode_into.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_floa
 lib.sg_wav_write.restype = ctypes.c_int
 lib.sg_wav_write.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
 lib.sg_last_error.restype = ctypes.c_char_p
+lib.sg_wav_decode_into_i16.restype = ctypes.c_int64
+lib.sg_wav_decode_into_i16.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
 
 def decode(path, cap):
     dst = np.full(cap, 9.0, dtype=np.float32)
     sr = ctypes.c_int32()
     n = lib.sg_wav_decode_into(path.encode(), dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap, ctypes.byref(sr))
+    # int16 twin must agree on length/rate and never touch invalid memory
+    dst16 = np.full(cap, 9, dtype=np.int16)
+    sr16 = ctypes.c_int32()
+    n16 = lib.sg_wav_decode_into_i16(path.encode(), dst16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), cap, ctypes.byref(sr16))
+    assert n16 == n and (n < 0 or sr16.value == sr.value), (path, n, n16)
     return n, sr.value, dst
 
 # well-formed: mono/stereo x bits

@@ -11,20 +11,29 @@ lib.sg_loader_acquire.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64
     ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)), ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))]
 lib.sg_loader_release.argtypes = [ctypes.c_void_p, ctypes.c_int64]
 lib.sg_loader_free.argtypes = [ctypes.c_void_p]
+lib.sg_loader_new2.restype = ctypes.c_void_p
+lib.sg_loader_new2.argtypes = lib.sg_loader_new.argtypes + [ctypes.c_int32]
+lib.sg_loader_acquire_i16.restype = ctypes.c_int64
+lib.sg_loader_acquire_i16.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)), ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+    ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)), ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))]
 paths = sorted(glob.glob("/tmp/sgtpu_bench_wavs/*.wav"))[:64]
 c_paths = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
-for trial in range(3):
-    h = lib.sg_loader_new(c_paths, len(paths), 4, 160000, 4, 2)
+for trial in range(6):  # trials 3-5 run the int16 transport mode
+    i16 = trial >= 3
+    h = lib.sg_loader_new2(c_paths, len(paths), 4, 160000, 4, 2, 1 if i16 else 0)
     assert h
     got = []
     lock = threading.Lock()
     def consume():
         while True:
             tok = ctypes.c_int64(-1)
-            pd = ctypes.POINTER(ctypes.c_float)(); pl = ctypes.POINTER(ctypes.c_int64)()
+            pd = ctypes.POINTER(ctypes.c_int16 if i16 else ctypes.c_float)()
+            pl = ctypes.POINTER(ctypes.c_int64)()
             ps = ctypes.POINTER(ctypes.c_int32)(); pi = ctypes.POINTER(ctypes.c_int64)()
-            n = lib.sg_loader_acquire(h, ctypes.byref(tok), ctypes.byref(pd),
-                                      ctypes.byref(pl), ctypes.byref(ps), ctypes.byref(pi))
+            acq = lib.sg_loader_acquire_i16 if i16 else lib.sg_loader_acquire
+            n = acq(h, ctypes.byref(tok), ctypes.byref(pd),
+                    ctypes.byref(pl), ctypes.byref(ps), ctypes.byref(pi))
             if n <= 0: return
             s = float(np.ctypeslib.as_array(pd, shape=(4*160000,)).sum())
             idx = list(np.ctypeslib.as_array(pi, shape=(4,)))
