@@ -372,6 +372,17 @@ class CqtParams:
     params with a frame long enough for every kernel) to anti-alias-filter
     accuracy, not the truncated one. Beyond-parity extension (off by
     default); streaming ``compute_frame`` keeps single-rate kernels.
+
+    ``multirate_depth`` picks the octave-stacking policy:
+
+    - ``"min"`` (default): decimate only as deep as full Q requires — the
+      d=0 group keeps the exact single-rate kernels, so plans whose kernels
+      all fit are bitwise unchanged.
+    - ``"max"``: decimate every octave as deep as its band allows (inside
+      the half-band passband) and shrink each group's frame to its kernels
+      — per-octave work drops ~4× per extra level, making the multirate
+      CQT a *speed* path, at the cost of half-band passband flatness
+      (~2e-5/level) on bins that previously ran at the full rate.
     """
     bins_per_octave: Any
     n_octaves: Any
@@ -381,6 +392,7 @@ class CqtParams:
     sparsity_threshold: Any = 0.01
     normalize: Any = True
     multirate: Any = False
+    multirate_depth: Any = 'min'
 
     def bin_bandwidth(self, bin_idx):
         ...
@@ -415,7 +427,7 @@ class CqtParams:
     def percussive():
         ...
 
-    def with_multirate(self, multirate = True):
+    def with_multirate(self, multirate = True, depth = None):
         ...
 
     def with_normalize(self, normalize):

@@ -33,19 +33,32 @@ def multirate_ri_blocks(x, groups_dev, frame_len: int, hop: int, nf: int,
                         precision):
     """Per-group [re | −im] correlations of the octave-stacked CQT.
 
-    ``groups_dev``: list of ``(d, k_ri_device (frame_len, 2·nb), e0)`` from
+    ``groups_dev``: list of ``(d, k_ri_device, e0, flen, jp)`` from
     :func:`spectrograms_tpu.ops.cqt.multirate_cqt_groups` with device-resident
     kernels. For each group the signal is 2^d-decimated (zero-phase
     half-band, time-aligned grid) and framed so frame ``i``'s END lands on
     the same instant as full-rate frame ``i`` (decimated index
     ``i·hop/2^d + e0``) — the pre-scaled kernels then reproduce the
-    *untruncated* full-rate correlation. Returns a list of (nf, 2·nb)
-    arrays in group (= ascending bin) order.
+    *untruncated* full-rate correlation. ``flen`` may be shorter than the
+    plan frame (depth="max" shrinks it to the group's kernels); frames then
+    cover the *last* flen decimated samples before each frame end, exactly
+    where the right-aligned kernels live.
+
+    ``jp > 1`` marks a frame-packed group: ``k_ri`` is the block-banded
+    (flen + jp·hop_d, jp·2nb) super-kernel whose column block m holds the
+    plain kernels shifted to rows [m·hop_d, m·hop_d+flen). One framed
+    matmul at super-hop jp·hop_d then computes jp consecutive frames per
+    row (frame i = super-frame i//jp, block i%jp — frames sit at
+    [i·hop_d, i·hop_d+flen) on the padded grid either way); the rows are
+    unpacked by a reshape. See multirate_cqt_groups for why this beats
+    gather framing at deep d.
+
+    Returns a list of (nf, 2·nb) arrays in group (= ascending bin) order.
     """
     from .ops.decimate import decimate_pow2_framed
     from .ops.framing import framed_matmul
 
-    d_max = max(d for d, _, _ in groups_dev)
+    d_max = max(d for d, *_ in groups_dev)
     levels = {0: x}
     for d in range(1, d_max + 1):
         # One half-band stage per level, lowered as a banded framed matmul
@@ -54,17 +67,25 @@ def multirate_ri_blocks(x, groups_dev, frame_len: int, hop: int, nf: int,
         levels[d] = decimate_pow2_framed(levels[d - 1], 1, precision=precision)
 
     outs = []
-    for d, k_ri, e0 in groups_dev:
+    for d, k_ri, e0, flen, jp in groups_dev:
         y = levels[d]
         hop_d = hop >> d
-        need = (nf - 1) * hop_d + frame_len
-        left = frame_len - e0
+        nf_sup = -(-nf // jp)  # super-frames needed to cover nf frames
+        n_fft_sup = int(k_ri.shape[0])  # flen when jp == 1
+        hop_sup = jp * hop_d
+        need = (nf_sup - 1) * hop_sup + n_fft_sup
+        left = flen - e0  # shift so frame i ends at decimated i·hop_d + e0
+        if left < 0:
+            y = y[-left:]
+            left = 0
         total = left + y.shape[-1]
         w = jnp.pad(y, (left, max(0, need - total)))[:need]
-        outs.append(
-            framed_matmul(w, k_ri, frame_len, hop_d, centre=False,
-                          precision=precision)
-        )
+        ri = framed_matmul(w, k_ri, n_fft_sup, hop_sup, centre=False,
+                           precision=precision)  # (nf_sup, jp·2nb)
+        if jp > 1:
+            nb2 = k_ri.shape[1] // jp
+            ri = ri.reshape(nf_sup * jp, nb2)[:nf]
+        outs.append(ri)
     return outs
 
 
@@ -149,9 +170,13 @@ def cqt(samples, sample_rate: float, params: CqtParams, hop_size: int, dtype=Non
         from .ops.framing import frame_count
 
         groups, freqs = multirate_cqt_groups(
-            params, float(sample_rate), int(frame_len), int(hop_size), False
+            params, float(sample_rate), int(frame_len), int(hop_size), False,
+            depth=params.multirate_depth,
         )
-        groups_dev = [(d, jnp.asarray(k_ri.astype(dt)), e0) for d, k_ri, e0 in groups]
+        groups_dev = [
+            (d, jnp.asarray(k_ri.astype(dt)), e0, flen, jp)
+            for d, k_ri, e0, flen, jp in groups
+        ]
         nf = frame_count(int(x.shape[0]), int(frame_len), int(hop_size), False)
         blocks = multirate_ri_blocks(
             x, groups_dev, int(frame_len), int(hop_size), nf, prec

@@ -275,24 +275,45 @@ def max_decimation(frame_length: int, hop: int, centre: bool) -> int:
 
 @lru_cache(maxsize=16)
 def multirate_cqt_groups(params: CqtParams, sample_rate: float,
-                         frame_length: int, hop: int, centre: bool):
+                         frame_length: int, hop: int, centre: bool,
+                         depth: str = "min"):
     """Octave-stacked kernel groups for CqtParams(multirate=True).
 
     Returns ``(groups, freqs)`` where each group is
-    ``(d, K_ri, e0)``: bins computed at decimation 2^d against
-    ``frame_length``-sample frames of the decimated signal whose ends align
-    with the full-rate frame ends. ``K_ri`` is the (frame_length,
+    ``(d, K_ri, e0, flen, jp)``: bins computed at decimation 2^d against
+    ``flen``-sample frames of the decimated signal whose ends align
+    with the full-rate frame ends. ``K_ri`` is the (flen,
     2·n_group_bins) f64 [re | −im] correlation matrix — *pre-scaled* so the
     result matches the untruncated full-rate CQT — with its columns in
     global bin order within the group (groups are contiguous in bin index,
+    and when ``jp > 1`` the group is frame-packed: ``K_ri`` becomes the
+    (flen + jp·hop_d, jp·2nb) block-banded super-kernel described below),
     low bins = deepest d). ``e0`` is the first frame's end index in the
     decimated signal. Bin b of group (lo, hi) is global bin lo+b; bins are
     ordered so concatenating groups in the returned order restores
     0..n_bins-1.
+
+    ``depth="min"`` (quality default) decimates only as deep as full Q
+    requires and keeps ``flen = frame_length`` everywhere — the d=0 group
+    holds the exact single-rate kernels. ``depth="max"`` (speed) decimates
+    every bin as deep as its band allows inside the half-band passband
+    (``ops/decimate.py::HALFBAND_PASSBAND_FRAC``) and shrinks each group's
+    frame to the power of two covering its kernels: each extra level is
+    ~4× less matmul work for that octave, turning the octave stack into
+    the fast path for low-f_min banks (the classic recursive-downsampling
+    CQT, vs the reference's always-full-rate correlation
+    ``cqt.rs:481-514``).
     """
+    if depth not in ("min", "max"):
+        raise ValueError(f"depth must be 'min' or 'max', got {depth!r}")
     d_max = max_decimation(frame_length, hop, centre)
+    from .decimate import HALFBAND_PASSBAND_FRAC
+
     # Per generated bin (below Nyquist, like the single-rate builder):
-    # minimal d with kernel fitting the frame, capped at d_max.
+    # minimal d with kernel fitting the frame, capped at d_max; depth="max"
+    # then deepens while the bin's band (centre + ~2.5 mainlobe widths,
+    # width = fc/Q for a Q-long windowed tone) stays inside the decimated
+    # half-band passband.
     fcs, ds = [], []
     still_truncated = []
     for bin_idx in range(params.num_bins):
@@ -303,6 +324,14 @@ def multirate_cqt_groups(params: CqtParams, sample_rate: float,
         d = 0
         while full_len > frame_length * (1 << d) and d < d_max:
             d += 1
+        if depth == "max":
+            band_top = fc * (1.0 + 2.5 / params.q_factor)
+            while (
+                d < d_max
+                and band_top
+                <= HALFBAND_PASSBAND_FRAC * sample_rate / (1 << (d + 2))
+            ):
+                d += 1
         if full_len > frame_length * (1 << d):
             still_truncated.append((bin_idx, fc, full_len, d))
         fcs.append(fc)
@@ -322,7 +351,8 @@ def multirate_cqt_groups(params: CqtParams, sample_rate: float,
         )
 
     # ds is non-increasing requirement? fc increases with bin ⇒ kernel
-    # shortens ⇒ d non-increasing. Group contiguous runs of equal d.
+    # shortens ⇒ d non-increasing (both the fit and the band bound fall
+    # with fc). Group contiguous runs of equal d.
     groups = []
     i = 0
     while i < len(fcs):
@@ -332,9 +362,25 @@ def multirate_cqt_groups(params: CqtParams, sample_rate: float,
         d = ds[i]
         D = 1 << d
         sr_d = sample_rate / D
+        if depth == "max":
+            # Shrink the group frame to the power of two covering its
+            # longest kernel (≥ 128 lanes): the matmul then reads only the
+            # samples the kernels can see instead of frame_length-wide
+            # frames of mostly structural zeros.
+            longest = max(
+                max(1, min(int(np.round(params.q_factor * sr_d / fcs[b])),
+                           frame_length))
+                for b in range(i, j)
+            )
+            flen = 128
+            while flen < longest:
+                flen *= 2
+            flen = min(flen, frame_length)
+        else:
+            flen = frame_length
         rows_re, rows_im = [], []
         for b in range(i, j):
-            row_re, row_mim, _ = _kernel_row(params, fcs[b], sr_d, frame_length)
+            row_re, row_mim, _ = _kernel_row(params, fcs[b], sr_d, flen)
             rows_re.append(row_re)
             rows_im.append(row_mim)
         scale = float(np.sqrt(D)) if params.normalize else float(D)
@@ -342,8 +388,32 @@ def multirate_cqt_groups(params: CqtParams, sample_rate: float,
             [np.asarray(rows_re).T, np.asarray(rows_im).T], axis=1
         ) * scale
         e0 = (frame_length // 2 if centre else frame_length) // D
+        # Deep groups have hop_d ≪ flen (>87%-overlapped frames): neither
+        # the hopped-slice decomposition (k = flen/hop_d partial dots) nor a
+        # gather extracts them efficiently on TPU (the k=32 concat measured
+        # ~30× slower than gather, the gather left ~0.4 ms on the config-4
+        # stack). Pack J consecutive frames into one block-banded
+        # super-frame kernel (flen + J·hop_d rows, J·2nb cols; column block
+        # m holds the kernels shifted to rows [m·hop_d, m·hop_d+flen)) so
+        # the group becomes ONE framed matmul at super-hop J·hop_d, whose
+        # k = flen/(J·hop_d) + 1 hopped slices stay on the fast path.
+        # J = q/4 (q = flen/hop_d, both powers of two) ⇒ k = 5 parts,
+        # 1.25× the ideal MACs, kernel ≤ 1.25·flen·(q/4)·2nb floats.
+        # jp = J (1 = unpacked).
+        hop_d = hop >> d
+        jp = 1
+        if hop_d > 0 and flen % hop_d == 0:
+            q = flen // hop_d
+            if q > 8 and q % 4 == 0:
+                jp = q // 4
+                nb2 = k_ri.shape[1]
+                band = np.zeros((flen + jp * hop_d, jp * nb2))
+                for m in range(jp):
+                    band[m * hop_d : m * hop_d + flen,
+                         m * nb2 : (m + 1) * nb2] = k_ri
+                k_ri = band
         k_ri.setflags(write=False)
-        groups.append((d, k_ri, e0))
+        groups.append((d, k_ri, e0, flen, jp))
         i = j
 
     freqs = np.asarray(fcs, dtype=np.float64)

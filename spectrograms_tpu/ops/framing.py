@@ -71,9 +71,16 @@ def frame_signal(x, n_fft: int, hop_size: int, centre: bool = True):
     frame matrix is assembled from a strided *reshape* plus ``n_fft//hop``
     shifted slices — measured ~2× faster on TPU than the equivalent gather,
     which XLA lowers to a serial dynamic-slice loop. Otherwise falls back to
-    one strided gather over the zero-padded signal.
+    one strided gather over the zero-padded signal. The slice+concat trick
+    only pays while ``k = n_fft//hop`` is small: at k=32 (deep multirate-CQT
+    groups, hop 4) the 32-part concatenate measured ~30× slower than the
+    gather on v5e — above ``_FRAME_SLICES_MAX_K`` the gather wins.
     """
-    if n_fft % hop_size == 0 and n_fft > hop_size:
+    if (
+        n_fft % hop_size == 0
+        and n_fft > hop_size
+        and n_fft // hop_size <= _FRAME_SLICES_MAX_K
+    ):
         base, n_frames, k = _hopped_base(x, n_fft, hop_size, centre)
         parts = [base[..., i : i + n_frames, :] for i in range(k)]
         return jnp.concatenate(parts, axis=-1)
@@ -110,6 +117,8 @@ def _hopped_base(x, n_fft: int, hop_size: int, centre: bool):
 # (remote TPU compiles are minutes-per-program) and loses to one gather +
 # one matmul; typical hops give k = 2..8.
 _FRAMED_MATMUL_MAX_K = 8
+# frame_signal's slice+concat assembly cap (see its docstring).
+_FRAME_SLICES_MAX_K = 8
 
 
 def framed_matmul(x, mat, n_fft: int, hop_size: int, centre: bool = True,

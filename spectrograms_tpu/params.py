@@ -420,6 +420,17 @@ class CqtParams:
     params with a frame long enough for every kernel) to anti-alias-filter
     accuracy, not the truncated one. Beyond-parity extension (off by
     default); streaming ``compute_frame`` keeps single-rate kernels.
+
+    ``multirate_depth`` picks the octave-stacking policy:
+
+    - ``"min"`` (default): decimate only as deep as full Q requires — the
+      d=0 group keeps the exact single-rate kernels, so plans whose kernels
+      all fit are bitwise unchanged.
+    - ``"max"``: decimate every octave as deep as its band allows (inside
+      the half-band passband) and shrink each group's frame to its kernels
+      — per-octave work drops ~4× per extra level, making the multirate
+      CQT a *speed* path, at the cost of half-band passband flatness
+      (~2e-5/level) on bins that previously ran at the full rate.
     """
 
     bins_per_octave: int
@@ -430,6 +441,7 @@ class CqtParams:
     sparsity_threshold: float = 0.01
     normalize: bool = True
     multirate: bool = False
+    multirate_depth: str = "min"
 
     def __post_init__(self):
         object.__setattr__(
@@ -452,6 +464,11 @@ class CqtParams:
             self, "sparsity_threshold", max(0.0, float(self.sparsity_threshold))
         )
         object.__setattr__(self, "multirate", bool(self.multirate))
+        if self.multirate_depth not in ("min", "max"):
+            raise InvalidInputError(
+                f"multirate_depth must be 'min' or 'max', got "
+                f"{self.multirate_depth!r}"
+            )
 
     # fluent modifiers (parity with with_* methods)
     def with_q_factor(self, q_factor: float) -> "CqtParams":
@@ -466,8 +483,14 @@ class CqtParams:
     def with_normalize(self, normalize: bool) -> "CqtParams":
         return replace(self, normalize=bool(normalize))
 
-    def with_multirate(self, multirate: bool = True) -> "CqtParams":
-        return replace(self, multirate=bool(multirate))
+    def with_multirate(
+        self, multirate: bool = True, depth: Optional[str] = None
+    ) -> "CqtParams":
+        return replace(
+            self,
+            multirate=bool(multirate),
+            multirate_depth=self.multirate_depth if depth is None else depth,
+        )
 
     @property
     def num_bins(self) -> int:

@@ -410,11 +410,12 @@ class SpectrogramPlan:
                 from .ops.cqt import multirate_cqt_groups
 
                 groups, _ = multirate_cqt_groups(
-                    scale_params, sr, n_fft, hop, stft_p.centre
+                    scale_params, sr, n_fft, hop, stft_p.centre,
+                    depth=scale_params.multirate_depth,
                 )
                 self._cqt_multirate = [
-                    (d, jnp.asarray(k_ri.astype(self._dtype)), e0)
-                    for d, k_ri, e0 in groups
+                    (d, jnp.asarray(k_ri.astype(self._dtype)), e0, flen, jp)
+                    for d, k_ri, e0, flen, jp in groups
                 ]
         else:  # pragma: no cover
             raise InvalidInputError(f"unknown freq scale {freq_scale}")

@@ -368,3 +368,86 @@ class TestMultirateCqt:
             plan.compute_frame(x, 1)
         msgs = [str(w.message) for w in caught if "multirate" in str(w.message)]
         assert len(msgs) == 1 and "single-rate" in msgs[0]
+
+
+class TestMultirateMaxDepth:
+    """depth="max": the speed octave stack (deep decimation, shrunken frames)."""
+
+    SR = 44100.0
+
+    def _music(self, seconds=3.0, seed=11):
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(seconds * self.SR)) / self.SR
+        x = (
+            np.sin(2 * np.pi * 65.4 * t)
+            + 0.7 * np.sin(2 * np.pi * 261.6 * t)
+            + 0.5 * np.sin(2 * np.pi * 1046.5 * t)
+            + 0.05 * rng.standard_normal(t.size)
+        )
+        return x.astype(np.float64)
+
+    def test_max_depth_matches_min_depth(self):
+        """The config-4 CQT: max-depth is the documented ~1%-amplitude speed
+        tier — kernels shrink to ~90 samples at the deepest aliasing-safe
+        rate (the recursive-downsampling CQT), so tone responses deviate
+        from the quality (min-depth) stack by short-kernel discretization,
+        measured ≤ ~2.5e-2 relative on power for energetic bins."""
+        x = self._music()
+        params = sg.SpectrogramParams(sg.StftParams(4096, 1024), self.SR)
+        cqt = sg.CqtParams(12, 7, 32.703)
+        a = np.asarray(
+            sg.CqtPowerPlan(
+                params, cqt.with_multirate(), dtype="float64"
+            ).compute(x).data
+        )
+        b = np.asarray(
+            sg.CqtPowerPlan(
+                params, cqt.with_multirate(depth="max"), dtype="float64"
+            ).compute(x).data
+        )
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() / a.max() < 4e-2
+        # Steady state = frames whose longest kernel (bin 0, ~0.51 s) is
+        # fully inside the signal; onset-transient frames see the signal
+        # start through differently-sampled kernels and deviate more.
+        L0 = cqt.q_factor * self.SR / 32.703
+        first_full = int(np.ceil((L0 - 2048) / 1024))
+        ss = slice(first_full, a.shape[1] - 2)
+        en = a[:, ss] > 0.01 * a.max()
+        assert en.any()
+        rel = np.abs(a[:, ss] - b[:, ss])[en] / a[:, ss][en]
+        assert rel.max() < 4e-2          # energetic bins: ≤ ~2% measured
+        assert np.abs(a[:, ss] - b[:, ss])[~en].max() / a.max() < 2e-3
+
+    def test_max_depth_deepens_and_shrinks_frames(self):
+        from spectrograms_tpu.ops.cqt import multirate_cqt_groups
+
+        cqt = sg.CqtParams(12, 7, 32.703)
+        g_min, f_min = multirate_cqt_groups(cqt, self.SR, 4096, 1024, True)
+        g_max, f_max = multirate_cqt_groups(
+            cqt, self.SR, 4096, 1024, True, depth="max"
+        )
+        np.testing.assert_array_equal(f_min, f_max)
+        assert max(d for d, *_ in g_max) > max(d for d, *_ in g_min)
+        assert all(flen == 4096 for _, _, _, flen, _ in g_min)
+        assert any(flen < 4096 for _, _, _, flen, _ in g_max)
+        # every group's kernels fit its (possibly shrunken) frame; packed
+        # groups carry the (flen + jp·hop_d)-row block-banded super-kernel
+        for d, k_ri, e0, flen, jp in g_max:
+            hop_d = 1024 >> d
+            assert k_ri.shape[0] == (flen if jp == 1 else flen + jp * hop_d)
+        # total bin count preserved, ascending-bin group order
+        assert sum(
+            k.shape[1] // (2 * jp) for _, k, _, _, jp in g_max
+        ) == len(f_max)
+
+    def test_max_depth_serde_roundtrip(self):
+        from spectrograms_tpu import serde
+
+        p = sg.CqtParams(12, 7, 32.703, multirate=True, multirate_depth="max")
+        q = serde.from_json(serde.to_json(p))
+        assert q == p and q.multirate_depth == "max"
+
+    def test_bad_depth_rejected(self):
+        with pytest.raises(sg.InvalidInputError, match="multirate_depth"):
+            sg.CqtParams(12, 7, 32.703, multirate_depth="deep")
