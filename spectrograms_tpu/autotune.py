@@ -255,9 +255,11 @@ def _candidate_methods(plan, kernel_variants: bool = False) -> Sequence[str]:
             # state), so the honest default is: measure on THIS deployment.
             # Costs one extra remote compile per candidate at tune time;
             # wisdom makes restarts free.
-            methods += ["pallas:dif", "pallas:stack", "pallas:dif+stack"]
+            methods.append("pallas:dif")
             if mp.precision != jax.lax.Precision.DEFAULT:
-                methods.append("pallas:gauss")  # bf16 tier is already Gauss
+                # stack is an x3-tier form (the factory rejects it
+                # elsewhere); the bf16 tier is already Gauss.
+                methods += ["pallas:stack", "pallas:dif+stack", "pallas:gauss"]
     return methods
 
 

@@ -267,6 +267,7 @@ class ChromaPlan:
             fb64 = chroma_filterbank(sr_eff, stft_eff.n_fft, chroma_params)
             from .ops.pallas_factored import parse_pallas_method
 
+            variant_kwargs = parse_pallas_method(method) if _is_pallas else {}
             run = fused_factored_features(
                 stft_eff.n_fft,
                 stft_eff.hop_size,
@@ -274,14 +275,15 @@ class ChromaPlan:
                 KernelConst(fb64),
                 amp="power",
                 pre_amp="magnitude",
-                precision=(
+                precision=variant_kwargs.pop(
+                    "precision",
                     "bf16"
                     if precision == jax.lax.Precision.DEFAULT
-                    else "bf16x3"
+                    else "bf16x3",
                 ),
                 centre=stft_eff.centre,
                 interpret=jax.default_backend() == "cpu",
-                **(parse_pallas_method(method) if _is_pallas else {}),
+                **variant_kwargs,
             )
 
             def forward(x):

@@ -58,13 +58,28 @@ def multirate_ri_blocks(x, groups_dev, frame_len: int, hop: int, nf: int,
     from .ops.decimate import decimate_pow2_framed
     from .ops.framing import framed_matmul
 
-    d_max = max(d for d, *_ in groups_dev)
     levels = {0: x}
-    for d in range(1, d_max + 1):
-        # One half-band stage per level, lowered as a banded framed matmul
-        # (same taps and zero-extension as decimate2, MXU-native — the
-        # 1-channel conv lowering starves the MXU; see ops/decimate.py).
-        levels[d] = decimate_pow2_framed(levels[d - 1], 1, precision=precision)
+
+    def get_level(d):
+        # Lazy cascade, banded framed matmuls (MXU-native — the 1-channel
+        # conv lowering starves the MXU; see ops/decimate.py). A level with
+        # its predecessor present takes one half-band stage; otherwise a
+        # stride-4 composite stage from two levels below, so depth="max"
+        # (even depths only) never materializes the odd levels — halving
+        # the cascade's HBM traffic, its dominant cost.
+        if d not in levels:
+            if d - 1 in levels:
+                levels[d] = decimate_pow2_framed(
+                    levels[d - 1], 1, precision=precision
+                )
+            else:
+                levels[d] = decimate_pow2_framed(
+                    get_level(d - 2), 2, precision=precision
+                )
+        return levels[d]
+
+    for d in sorted({g[0] for g in groups_dev}):
+        get_level(d)
 
     outs = []
     for d, k_ri, e0, flen, jp in groups_dev:

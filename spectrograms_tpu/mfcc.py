@@ -211,6 +211,7 @@ class MfccPlan:
             window64 = make_window(k_stft.window, k_stft.n_fft, np.float64)
             from .ops.pallas_factored import parse_pallas_method
 
+            variant_kwargs = parse_pallas_method(_kernel_plan.method)
             run = fused_factored_features(
                 k_stft.n_fft,
                 k_stft.hop_size,
@@ -218,15 +219,16 @@ class MfccPlan:
                 KernelConst(mapping64),
                 amp="decibels",
                 floor_db=float(log_params.floor_db),
-                precision=(
+                precision=variant_kwargs.pop(
+                    "precision",
                     "bf16"
                     if self._mel_plan.precision == jax.lax.Precision.DEFAULT
-                    else "bf16x3"
+                    else "bf16x3",
                 ),
                 centre=k_stft.centre,
                 dct_key=KernelConst(basis64),
                 interpret=jax.default_backend() == "cpu",
-                **parse_pallas_method(_kernel_plan.method),
+                **variant_kwargs,
             )
             from .ops.gradients import pallas_forward_xla_grad
 

@@ -332,6 +332,14 @@ def multirate_cqt_groups(params: CqtParams, sample_rate: float,
                 <= HALFBAND_PASSBAND_FRAC * sample_rate / (1 << (d + 2))
             ):
                 d += 1
+            # Prefer even depths: the consumer then decimates in stride-4
+            # composite stages (0→2→4→…), never materializing the odd
+            # levels — the cascade's HBM traffic, not the group matmuls,
+            # dominates the octave stack. One level shallower costs this
+            # group ~4× more (still microscopic) MACs; skipping an entire
+            # signal-length intermediate saves real bandwidth.
+            if d % 2 == 1 and d - 1 >= 0 and full_len <= frame_length * (1 << (d - 1)):
+                d -= 1
         if full_len > frame_length * (1 << d):
             still_truncated.append((bin_idx, fc, full_len, d))
         fcs.append(fc)

@@ -84,6 +84,9 @@ def frame_signal(x, n_fft: int, hop_size: int, centre: bool = True):
         base, n_frames, k = _hopped_base(x, n_fft, hop_size, centre)
         parts = [base[..., i : i + n_frames, :] for i in range(k)]
         return jnp.concatenate(parts, axis=-1)
+    disjoint = _disjoint_frames(x, n_fft, hop_size, centre)
+    if disjoint is not None:
+        return disjoint
     n = x.shape[-1]
     left, right, n_frames = pad_amounts(n, n_fft, hop_size, centre)
     pad_widths = [(0, 0)] * (x.ndim - 1) + [(left, right)]
@@ -91,6 +94,29 @@ def frame_signal(x, n_fft: int, hop_size: int, centre: bool = True):
     starts = np.arange(n_frames, dtype=np.int32) * hop_size
     idx = starts[:, None] + np.arange(n_fft, dtype=np.int32)[None, :]
     return jnp.take(xp, jnp.asarray(idx), axis=-1)
+
+
+def _disjoint_frames(x, n_fft: int, hop_size: int, centre: bool):
+    """Gather-free frames for ``n_fft | hop`` (disjoint or exactly-tiling
+    frames — short multirate-CQT kernels against sparse full-rate hops):
+    rows of one (…, rows, n_fft) reshape, frame i = row i·(hop/n_fft).
+    Returns None when the shape rule doesn't apply. The XLA gather this
+    replaces lowered to a serial dynamic-slice loop (measured ~0.45 ms of
+    the octave-stacked CQT's d=0 group at the config-4 batch shape).
+    """
+    if hop_size % n_fft != 0 or hop_size < n_fft:
+        return None
+    n = x.shape[-1]
+    left, right, n_frames = pad_amounts(n, n_fft, hop_size, centre)
+    step = hop_size // n_fft
+    rows = (n_frames - 1) * step + 1
+    extra = max(0, rows * n_fft - (n + left + right))
+    pad_widths = [(0, 0)] * (x.ndim - 1) + [(left, right + extra)]
+    xp = jnp.pad(x, pad_widths)
+    base = jnp.reshape(
+        xp[..., : rows * n_fft], x.shape[:-1] + (rows, n_fft)
+    )
+    return base[..., ::step, :] if step > 1 else base
 
 
 def _hopped_base(x, n_fft: int, hop_size: int, centre: bool):

@@ -256,6 +256,7 @@ def _kernel(
     pre_amp: str,
     floor_db: float,
     x3: bool,
+    x2: bool,
     use_gauss: bool,
     with_dct: bool,
     batch_classes: bool,
@@ -265,12 +266,18 @@ def _kernel(
     dif: bool,          # complex classes: radix-2 DIF stage + two 64-DFT dots
     x3_stack: bool,     # x3 tier: [a_hi; a_lo] M-stacked dots (2 per product)
 ):
-    def dot3(a, b, b_lo=None):
+    def dot3(a, b, b_lo=None, tail=False):
         # Mosaic lowers f32 dots to a single bf16 MXU pass; in x3 mode do the
         # explicit hi/lo 3-pass (a·b ≈ aₕbₕ + aₕbₗ + aₗbₕ) so the filterbank
         # and DCT tails keep HIGH accuracy like the DFT stage. Pass a
         # presplit bf16 (b, b_lo) pair (the G/rw constants) to skip the
-        # on-the-fly split.
+        # on-the-fly split. The x2 tier 2-passes only the big DFT dots
+        # (aₕ·bₕ + aₕ·bₗ — the dropped aₗ·bₕ is the incoherent activation
+        # rounding, ~sqrt(n)-cancelled); ``tail=True`` dots (filterbank /
+        # DCT) stay 3-pass there: their operands are all-positive, so
+        # rounding error adds coherently and a dropped term costs the full
+        # 2⁻⁹ — measured 2.2e-3 vs 2.5e-4 on the mel sweep — while the tail
+        # is a small share of the MACs.
         a_hi = a.astype(jnp.bfloat16)
         b_hi = b if b.dtype == jnp.bfloat16 else b.astype(jnp.bfloat16)
         if x3 and x3_stack:
@@ -289,11 +296,12 @@ def _kernel(
                                      preferred_element_type=jnp.float32)
                     ) + y2[m:]
         y = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
-        if x3:
-            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        if x3 or x2:
             if b_lo is None:
                 b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             y = y + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+        if x3 or (x2 and tail):
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             y = y + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
         return y
 
@@ -326,7 +334,7 @@ def _kernel(
         y_re, y_im = ys[c]
         sl = slice(slot * 128, (slot + 1) * 128)
         # (the lo refs are (8,128) dummies in bf16 mode — don't slice them)
-        xx = dot3(y_re, rw_ref[sl, :], rw_lo_ref[sl, :] if x3 else None)
+        xx = dot3(y_re, rw_ref[sl, :], rw_lo_ref[sl, :] if (x3 or x2) else None)
         if raw_real:
             # One (·,128)@(128,128) dot: Hermitian-in-k₁ packing (real-class
             # k₁ never exceeds the packed range — see slot_columns). Emit
@@ -364,7 +372,7 @@ def _kernel(
             wi = dif_w_ref[1, :64]
             v_re = dr * wr - di * wi
             v_im = dr * wi + di * wr
-            lo = g_lo_ref[:] if x3 else None
+            lo = g_lo_ref[:] if (x3 or x2) else None
             ue = dot3(jnp.concatenate([u_re, u_im], axis=1), g_hi_ref[:], lo)
             vo = dot3(jnp.concatenate([v_re, v_im], axis=1), g_hi_ref[:], lo)
             pe = ue[:, :64] * ue[:, :64] + ue[:, 64:] * ue[:, 64:]
@@ -375,7 +383,7 @@ def _kernel(
             # keeps only the k₁ columns some mapping row actually reads
             # ([re·64 | im·64], unused columns zero).
             bb = jnp.concatenate([a_re, a_im], axis=1)
-            xx = dot3(bb, g_hi_ref[:], g_lo_ref[:] if x3 else None)
+            xx = dot3(bb, g_hi_ref[:], g_lo_ref[:] if (x3 or x2) else None)
             if raw_cplx:
                 return xx * xx          # map rows pair re²+im²
             return xx[:, :64] * xx[:, :64] + xx[:, 64:] * xx[:, 64:]
@@ -386,12 +394,12 @@ def _kernel(
             # not allowed to pay (measured: 2.7e-6 → 3.7e-6 global rel on
             # the mel sweep).
             bb = jnp.concatenate([a_re, a_im], axis=1)
-            xx = dot3(bb, g_hi_ref[:], g_lo_ref[:] if x3 else None)
+            xx = dot3(bb, g_hi_ref[:], g_lo_ref[:] if (x3 or x2) else None)
             p, q = xx[:, :128], xx[:, 128:]
         else:
             # Gauss 3-mult — 25 % fewer MXU MACs; in bf16 the input
             # rounding (~2e-3 rel) dominates the Gauss constant anyway.
-            lo = g_lo_ref if x3 else None
+            lo = g_lo_ref if (x3 or x2) else None
             t1 = dot3(a_re + a_im, g_hi_ref[:, 0:128],
                       None if lo is None else lo[:, 0:128])
             t2 = dot3(a_im, g_hi_ref[:, 128:256],
@@ -420,7 +428,7 @@ def _kernel(
         # must precede the matmul (chroma.rs:365-403). raw_* modes are
         # disabled on this path (their blocks hold squares, not powers).
         P = jnp.sqrt(P)
-    feat = dot3(P, map_ref[:])
+    feat = dot3(P, map_ref[:], tail=True)
 
     if amp == "magnitude":
         feat = jnp.sqrt(feat)
@@ -429,7 +437,7 @@ def _kernel(
         feat = 10.0 * jnp.log10(jnp.maximum(feat, eps))
 
     if with_dct:
-        feat = dot3(feat, dct_ref[:])
+        feat = dot3(feat, dct_ref[:], tail=True)
 
     out_ref[0, :, :] = feat
 
@@ -500,7 +508,7 @@ def fused_factored_features(
         raise InvalidInputError(f"unknown amp {amp!r}")
     if pre_amp not in ("none", "magnitude"):
         raise InvalidInputError(f"unknown pre_amp {pre_amp!r}")
-    if precision not in ("bf16", "bf16x3"):
+    if precision not in ("bf16", "bf16x2", "bf16x3"):
         raise InvalidInputError(f"unknown precision {precision!r}")
 
     r = n_fft // 128
@@ -527,6 +535,13 @@ def fused_factored_features(
             # tile_frames= still overrides.
             tile_f = min(tile_f, 64)
     x3 = precision == "bf16x3"
+    # The 2-pass middle tier: activations rounded once to bf16, constants
+    # kept as presplit hi+lo pairs — every dot is aₕ·bₕ + aₕ·bₗ, i.e. the
+    # x3 tier minus its aₗ·bₕ term. The dropped term is the activation
+    # rounding (|aₗ| ≤ 2⁻⁹|a|, incoherent across the contraction), so the
+    # error sits between the tiers — measured on the mel sweep in
+    # tests/test_pallas.py / docs/KERNEL_AB.md — at 2/3 the x3 MXU passes.
+    x2 = precision == "bf16x2"
 
     if isinstance(mapping_key, str):
         if mapping_key != "identity":
@@ -558,10 +573,16 @@ def fused_factored_features(
             "gauss=True is incompatible with column_prune truncation / dif "
             "(those paths use their own outer constants)"
         )
+    if x3_stack and not x3:
+        raise InvalidInputError("x3_stack requires the bf16x3 tier")
     use_gauss = (
         False
         if (trunc or dif)
-        else ((not x3) if gauss is None else bool(gauss))
+        # Gauss's T1−T2 cancellation doubles the surviving error term; the
+        # x2 tier's whole point is the activation-rounding floor, so it
+        # keeps the packed form like x3. Only 1-pass bf16 (where input
+        # rounding dominates everything) defaults to Gauss.
+        else ((not (x3 or x2)) if gauss is None else bool(gauss))
     )
     if batch_classes is None:
         # Measured on v5e (4-rep interleaved slope A/B, flagship MFCC shape):
@@ -626,7 +647,7 @@ def fused_factored_features(
             rw[slot * 128 : (slot + 1) * 128, :128] = np.cos(th)
             rw[slot * 128 : (slot + 1) * 128, 128:] = -np.sin(th)
     rw_hi, rw_lo = _split_bf16(rw.astype(np.float32))
-    if not x3:
+    if not (x3 or x2):
         g_lo = np.zeros((8, 128), dtype=g_lo.dtype)
         rw_lo = np.zeros((8, 128), dtype=rw_lo.dtype)
 
@@ -756,6 +777,7 @@ def fused_factored_features(
         pre_amp=pre_amp,
         floor_db=float(floor_db),
         x3=x3,
+        x2=x2,
         use_gauss=use_gauss,
         with_dct=with_dct,
         batch_classes=bool(batch_classes),
@@ -859,6 +881,12 @@ _METHOD_OPTIONS = {
     "stack": ("x3_stack", True),
     "gauss": ("gauss", True),
     "prune": ("column_prune", True),
+    # Precision-TIER override, unlike the equivalent forms above: the
+    # 2-pass middle tier (activations bf16 once, constants hi+lo). Callers
+    # pop "precision" from the parsed kwargs so an explicit x2 request
+    # wins over the plan's DEFAULT/HIGH-derived tier. Not an autotune
+    # equivalence candidate — it changes the accuracy contract.
+    "x2": ("precision", "bf16x2"),
 }
 
 

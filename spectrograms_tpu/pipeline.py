@@ -485,8 +485,9 @@ class SpectrogramPlan:
                     "0.1.x dense kernel, which accepted any n_fft; use "
                     "method='auto' or 'matmul' for other sizes)"
                 )
-            pallas_precision = (
-                "bf16" if self.precision == jax.lax.Precision.DEFAULT else "bf16x3"
+            pallas_precision = variant_kwargs.pop(
+                "precision",
+                "bf16" if self.precision == jax.lax.Precision.DEFAULT else "bf16x3",
             )
             # Fused Cooley-Tukey kernel, Hermitian fold baked into the
             # mapping. Linear plans ride an identity mapping ("identity"

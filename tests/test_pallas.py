@@ -450,3 +450,65 @@ def test_x3_stack_variant_bit_identical():
         for st in (False, True)
     )
     np.testing.assert_array_equal(a, b)
+
+
+class TestBf16x2Tier:
+    """The 2-pass middle precision tier: aₕ·bₕ + aₕ·bₗ (x3 minus its aₗ·bₕ
+    term). Accuracy must land strictly between the 1-pass and 3-pass tiers;
+    addressable as method="pallas:x2"."""
+
+    def _mk(self, method, precision=None):
+        return sg.SpectrogramPlan(
+            PARAMS,
+            sg.FreqScale.MEL,
+            sg.AmpScale.POWER,
+            scale_params=MEL,
+            method=method,
+            dtype="float32",
+            precision=precision,
+        )
+
+    def test_x2_between_tiers(self):
+        import jax
+
+        x = noise(16000, seed=3, dtype=np.float32)
+        ref = np.asarray(self._mk("matmul",
+                                  jax.lax.Precision.HIGHEST).compute_raw(x))
+        scale = ref.max()
+
+        def err(method, precision=None):
+            out = np.asarray(self._mk(method, precision).compute_raw(x))
+            return np.abs(out - ref).max() / scale
+
+        e1 = err("pallas", jax.lax.Precision.DEFAULT)   # 1-pass bf16
+        e2 = err("pallas:x2")                           # 2-pass
+        e3 = err("pallas", jax.lax.Precision.HIGH)      # 3-pass bf16x3
+        assert e3 < e2 < e1, (e1, e2, e3)
+        assert e2 < 2e-3  # better than the serving tier's documented 2e-3
+        assert e2 < e1 / 2  # materially so, not a rounding coincidence
+
+    def test_x2_method_string_parses(self):
+        from spectrograms_tpu.ops.pallas_factored import parse_pallas_method
+
+        assert parse_pallas_method("pallas:x2") == {"precision": "bf16x2"}
+        # x2 composes with the equivalent A/B forms
+        kw = parse_pallas_method("pallas:x2+dif")
+        assert kw == {"precision": "bf16x2", "dif": True}
+
+    def test_x2_overrides_plan_precision(self):
+        import jax
+
+        # Same tier whether the plan precision says DEFAULT or HIGH: the
+        # explicit method request wins.
+        x = noise(8000, seed=5, dtype=np.float32)
+        a = np.asarray(self._mk("pallas:x2",
+                                jax.lax.Precision.DEFAULT).compute_raw(x))
+        b = np.asarray(self._mk("pallas:x2",
+                                jax.lax.Precision.HIGH).compute_raw(x))
+        np.testing.assert_array_equal(a, b)
+
+    def test_stack_requires_x3(self):
+        with pytest.raises(sg.InvalidInputError, match="bf16x3"):
+            self._mk("pallas:x2+stack").compute_raw(
+                noise(4000, seed=1, dtype=np.float32)
+            )
