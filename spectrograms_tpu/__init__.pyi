@@ -528,6 +528,13 @@ class Spectrogram:
     amp_scale: Any
     floor_db: Any = None
 
+    @property
+    def T(self):
+        """(n_frames, n_bins) transposed view of the data (reference getter,
+        python/spectrogram.rs:432).
+        """
+        ...
+
     def __array__(self, dtype = None):
         """NumPy protocol: device->host copy as an ndarray."""
         ...
@@ -540,6 +547,12 @@ class Spectrogram:
 
     def __dlpack_device__(self):
         """DLPack device tuple (device_type, device_id)."""
+        ...
+
+    def astype(self, dtype):
+        """The data cast to ``dtype`` (array, not a Spectrogram — reference
+        method, python/spectrogram.rs:438).
+        """
         ...
 
     def block_until_ready(self):
@@ -557,6 +570,12 @@ class Spectrogram:
 
     def duration(self):
         """Duration spanned by the time axis (last frame time), seconds."""
+        ...
+
+    def frequency_range(self):
+        """(f_min, f_max) of the bin axis in Hz (or scale-specific units) —
+        reference getter, /root/reference/src/python/spectrogram.rs:361.
+        """
         ...
 
     @property
@@ -801,6 +820,13 @@ class StftResult:
         ...
 
     @property
+    def frequency_resolution(self):
+        """Hz per bin = sample_rate / n_fft (reference getter,
+        python/params.rs:389).
+        """
+        ...
+
+    @property
     def n_bins(self):
         """Number of frequency bins (rows)."""
         ...
@@ -823,6 +849,11 @@ class StftResult:
     @property
     def shape(self):
         """Data shape tuple."""
+        ...
+
+    @property
+    def time_resolution(self):
+        """Seconds per frame = hop_size / sample_rate (python/params.rs:394)."""
         ...
 
     def to_numpy(self):

@@ -129,6 +129,28 @@ class Spectrogram:
         """Duration spanned by the time axis (last frame time), seconds."""
         return float(self.times[-1]) if len(self.times) else 0.0
 
+    def frequency_range(self) -> Tuple[float, float]:
+        """(f_min, f_max) of the bin axis in Hz (or scale-specific units) —
+        reference getter, /root/reference/src/python/spectrogram.rs:361."""
+        if len(self.frequencies) == 0:
+            return (0.0, 0.0)
+        return (float(self.frequencies[0]), float(self.frequencies[-1]))
+
+    @property
+    def T(self):
+        """(n_frames, n_bins) transposed view of the data (reference getter,
+        python/spectrogram.rs:432)."""
+        return self.data.T
+
+    def astype(self, dtype):
+        """The data cast to ``dtype`` (array, not a Spectrogram — reference
+        method, python/spectrogram.rs:438)."""
+        return self.data.astype(dtype)
+
+    def __getitem__(self, idx):
+        """Index straight into the data array (python/spectrogram.rs:463)."""
+        return self.data[idx]
+
     def db_range(self) -> Optional[Tuple[float, float]]:
         """(min, max) of the data when in decibels, else None."""
         if self.amp_scale != AmpScale.DECIBELS:
@@ -195,6 +217,17 @@ class StftResult:
         from .dtypes import real_dtype_name
 
         return real_dtype_name(self.data.dtype)
+
+    @property
+    def frequency_resolution(self) -> float:
+        """Hz per bin = sample_rate / n_fft (reference getter,
+        python/params.rs:389)."""
+        return float(self.sample_rate) / self.params.n_fft
+
+    @property
+    def time_resolution(self) -> float:
+        """Seconds per frame = hop_size / sample_rate (python/params.rs:394)."""
+        return self.params.hop_size / float(self.sample_rate)
 
     def norm(self) -> jax.Array:
         """Magnitude |X| at the matching real precision (reference method,
