@@ -2523,6 +2523,17 @@ class FeaturePipeline:
         """Iterate feature batches over the given WAV files."""
         ...
 
+    def run_arrays(self, arrays, sample_rates = None):
+        """Iterate feature batches over pre-decoded signals (memory source).
+
+        The codec-agnostic entry: decode anything (FLAC/MP3/opus/…) with
+        any library, pass the arrays — batching, padding, rate policy,
+        int16 transport and the jitted compute are identical to :meth:`run`
+        (`AudioBatchLoader.from_arrays`). ``sample_rates`` is a scalar or
+        per-array sequence; omit it to bypass the rate check.
+        """
+        ...
+
     def throughput_report(self, paths):
         """Run once over ``paths`` and report audio-seconds/s end-to-end
         (decode + pad + transfer + compute, overlapped).

@@ -88,10 +88,83 @@ class AudioBatchLoader:
         self.on_rate_mismatch = on_rate_mismatch
         self._n_threads = int(n_threads)
         self._prefetch = int(prefetch_batches)
+        self._memory = None
+        self._rates = None
         try:
             self._lib = load_library()
         except NativeUnavailable:
             self._lib = None
+
+    @classmethod
+    def from_arrays(
+        cls,
+        arrays: Sequence,
+        batch_size: int,
+        target_len: int,
+        *,
+        sample_rates=None,
+        expected_sample_rate: Optional[int] = None,
+        on_rate_mismatch: str = "error",
+        dtype: str = "float32",
+    ) -> "AudioBatchLoader":
+        """Memory-source loader: pre-decoded signals instead of WAV paths.
+
+        Makes the serving path codec-agnostic (reference signal-source
+        ethos, /root/reference/src/source.rs:39-59): decode FLAC/MP3/opus
+        with any library, hand the arrays here, and get the same
+        fixed-shape ``(batch, target_len)`` + lengths + rate-policy
+        contract as the file loader — including ``dtype='int16'``
+        transport (f32/f64 rows are quantized once on the host; int16 rows
+        pass through verbatim).
+
+        ``sample_rates`` is a scalar or per-array sequence of decoded rates
+        (omit to skip rate checking); ``on_rate_mismatch='resample'``
+        Kaiser-sinc-converts mismatched rows to ``expected_sample_rate``.
+        """
+        if batch_size <= 0 or target_len <= 0:
+            raise InvalidInputError("batch_size and target_len must be positive")
+        if on_rate_mismatch not in _RATE_POLICIES:
+            raise InvalidInputError(
+                f"on_rate_mismatch must be one of {_RATE_POLICIES}, "
+                f"got {on_rate_mismatch!r}"
+            )
+        if dtype not in ("float32", "int16"):
+            raise InvalidInputError(
+                f"loader dtype must be 'float32' or 'int16', got {dtype!r}"
+            )
+        mem = [np.asarray(a).ravel() for a in arrays]
+        if not mem:
+            raise InvalidInputError("arrays must be non-empty")
+        if any(a.shape[0] == 0 for a in mem):
+            raise InvalidInputError("signals must be non-empty")
+        n = len(mem)
+        if sample_rates is None:
+            rates = np.zeros(n, dtype=np.int32)  # 0 = unknown, policy skips
+        elif np.ndim(sample_rates) == 0:
+            rates = np.full(n, int(sample_rates), dtype=np.int32)
+        else:
+            rates = np.asarray(sample_rates, dtype=np.int32)
+            if rates.shape != (n,):
+                raise InvalidInputError(
+                    f"sample_rates must be a scalar or length-{n} sequence, "
+                    f"got shape {rates.shape}"
+                )
+        self = cls.__new__(cls)
+        self.dtype = dtype
+        self._i16 = dtype == "int16"
+        self.paths = []
+        self.batch_size = int(batch_size)
+        self.target_len = int(target_len)
+        self.expected_sample_rate = (
+            None if expected_sample_rate is None else int(expected_sample_rate)
+        )
+        self.on_rate_mismatch = on_rate_mismatch
+        self._n_threads = 0
+        self._prefetch = 0
+        self._memory = mem
+        self._rates = rates
+        self._lib = None  # nothing to decode — the native threads are moot
+        return self
 
     # ---- iteration ---------------------------------------------------------
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -107,7 +180,12 @@ class AudioBatchLoader:
         padding rows) — after any ``'resample'`` correction the data rows are
         at ``expected_sample_rate`` even where this reports the source rate.
         """
-        source = self._iter_native() if self._lib is not None else self._iter_py()
+        if self._memory is not None:
+            source = self._iter_memory()
+        elif self._lib is not None:
+            source = self._iter_native()
+        else:
+            source = self._iter_py()
         for data, lengths, srs, path_idx in source:
             self._apply_rate_policy(data, lengths, srs, path_idx)
             yield data, lengths, srs
@@ -184,7 +262,7 @@ class AudioBatchLoader:
             return
         if self.on_rate_mismatch == "error":
             offenders = ", ".join(
-                f"{self.paths[int(path_idx[i])]} ({int(srs[i])} Hz)"
+                f"{self._source_name(int(path_idx[i]))} ({int(srs[i])} Hz)"
                 for i in mismatched[:4]
             )
             raise InvalidInputError(
@@ -198,7 +276,7 @@ class AudioBatchLoader:
             # keeps its full duration. Only the samples that can influence the
             # kept window matter — trim before resampling (a 1-hour 48 kHz
             # file must not materialize a full-length weight matrix).
-            sig, sr = read_wav(self.paths[int(path_idx[i])], mono=True)
+            sig, sr = self._source_signal(int(path_idx[i]))
             need = int(np.ceil(self.target_len * float(sr) / float(expected))) + 256
             converted = resample(sig[:need], float(sr), float(expected))
             m = min(converted.shape[0], self.target_len)
@@ -207,6 +285,54 @@ class AudioBatchLoader:
                 _quantize_i16(converted[:m]) if self._i16 else converted[:m]
             )
             lengths[i] = m
+
+    # ---- sources -----------------------------------------------------------
+    def _source_name(self, idx: int) -> str:
+        if self._memory is not None:
+            return f"arrays[{idx}]"
+        return self.paths[idx]
+
+    def _source_signal(self, idx: int):
+        """(float32 signal, decoded rate) for rate-policy resampling."""
+        if self._memory is not None:
+            sig = self._memory[idx]
+            if sig.dtype == np.int16:
+                sig = sig.astype(np.float32) * np.float32(1.0 / 32768.0)
+            return np.asarray(sig, dtype=np.float32), int(self._rates[idx])
+        return read_wav(self.paths[idx], mono=True)
+
+    def _iter_memory(self):
+        """Batches from pre-decoded arrays — same contract as _iter_py.
+
+        int16 rows pass through verbatim in int16 mode (and dequantize
+        exactly in float mode); float rows quantize once in int16 mode.
+        """
+        np_dtype = np.int16 if self._i16 else np.float32
+        n = len(self._memory)
+        for start in range(0, n, self.batch_size):
+            chunk = self._memory[start : start + self.batch_size]
+            data = np.zeros((self.batch_size, self.target_len), dtype=np_dtype)
+            lengths = np.zeros((self.batch_size,), dtype=np.int64)
+            srs = np.zeros((self.batch_size,), dtype=np.int32)
+            path_idx = np.full((self.batch_size,), -1, dtype=np.int64)
+            for i, sig in enumerate(chunk):
+                m = min(sig.shape[0], self.target_len)
+                row = sig[:m]
+                if self._i16:
+                    data[i, :m] = (
+                        row if row.dtype == np.int16
+                        else _quantize_i16(row.astype(np.float32))
+                    )
+                elif row.dtype == np.int16:
+                    data[i, :m] = row.astype(np.float32) * np.float32(
+                        1.0 / 32768.0
+                    )
+                else:
+                    data[i, :m] = row
+                lengths[i] = m
+                srs[i] = self._rates[start + i]
+                path_idx[i] = start + i
+            yield data, lengths, srs, path_idx
 
     # ---- backends ----------------------------------------------------------
     def _new_native_handle(self):

@@ -174,6 +174,33 @@ class FeaturePipeline:
             on_rate_mismatch=self.on_rate_mismatch,
             dtype="int16" if self._i16 else "float32",
         )
+        return self._run_loader(loader)
+
+    def run_arrays(self, arrays: Sequence,
+                   sample_rates=None) -> Iterator[FeatureBatch]:
+        """Iterate feature batches over pre-decoded signals (memory source).
+
+        The codec-agnostic entry: decode anything (FLAC/MP3/opus/…) with
+        any library, pass the arrays — batching, padding, rate policy,
+        int16 transport and the jitted compute are identical to :meth:`run`
+        (`AudioBatchLoader.from_arrays`). ``sample_rates`` is a scalar or
+        per-array sequence; omit it to bypass the rate check.
+        """
+        loader = AudioBatchLoader.from_arrays(
+            arrays,
+            batch_size=self.batch_size,
+            target_len=self.target_len,
+            sample_rates=sample_rates,
+            expected_sample_rate=(
+                None if sample_rates is None
+                else int(round(self.sample_rate_hz))
+            ),
+            on_rate_mismatch=self.on_rate_mismatch,
+            dtype="int16" if self._i16 else "float32",
+        )
+        return self._run_loader(loader)
+
+    def _run_loader(self, loader) -> Iterator[FeatureBatch]:
         # iter_borrowed yields views into the loader's ring slots (the
         # decode already wrote each row in place — no staging copies). The
         # slot is recycled when the generator resumes, so the host buffer

@@ -219,3 +219,68 @@ def test_pipeline_rejects_bad_transport():
         FeaturePipeline(
             _plan(), batch_size=2, target_seconds=1.0, transport="int8"
         )
+
+
+class TestMemorySource:
+    """from_arrays / run_arrays: the codec-agnostic serving entry."""
+
+    def test_run_arrays_matches_run_on_same_signals(self, clips):
+        paths, lengths = clips
+        from spectrograms_tpu.runtime.wav import read_wav
+
+        arrays = [read_wav(p, mono=True)[0] for p in paths]
+        pipe = FeaturePipeline(_plan(), batch_size=4, target_seconds=1.0)
+        got_f = [np.asarray(b.masked()) for b in pipe.run(paths)]
+        got_m = [np.asarray(b.masked())
+                 for b in pipe.run_arrays(arrays, sample_rates=SR)]
+        assert len(got_f) == len(got_m)
+        for a, b in zip(got_f, got_m):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_run_arrays_int16_transport_passthrough(self, clips):
+        paths, _ = clips
+        from spectrograms_tpu.runtime.wav import read_wav
+
+        # int16 rows ship verbatim: identical features to feeding the same
+        # PCM through the file loader in int16 mode.
+        arrays_f = [read_wav(p, mono=True)[0] for p in paths]
+        arrays_i = [np.clip(np.rint(a * 32768.0), -32768, 32767).astype(np.int16)
+                    for a in arrays_f]
+        pipe = FeaturePipeline(_plan(), batch_size=4, target_seconds=1.0,
+                               transport="int16")
+        got_f = [np.asarray(b.masked()) for b in pipe.run(paths)]
+        got_i = [np.asarray(b.masked())
+                 for b in pipe.run_arrays(arrays_i, sample_rates=SR)]
+        for a, b in zip(got_f, got_i):
+            np.testing.assert_array_equal(a, b)  # bit-exact for PCM16
+
+    def test_from_arrays_rate_policy(self):
+        from spectrograms_tpu.runtime.loader import AudioBatchLoader
+
+        rng = np.random.default_rng(3)
+        arrays = [rng.standard_normal(SR).astype(np.float32),
+                  rng.standard_normal(2 * SR).astype(np.float32)]
+        # mismatched second rate errors...
+        loader = AudioBatchLoader.from_arrays(
+            arrays, batch_size=2, target_len=SR,
+            sample_rates=[SR, 2 * SR], expected_sample_rate=SR)
+        with pytest.raises(sg.InvalidInputError, match=r"arrays\[1\]"):
+            list(loader)
+        # ...and 'resample' converts it (2x-rate clip keeps its duration)
+        loader = AudioBatchLoader.from_arrays(
+            arrays, batch_size=2, target_len=SR,
+            sample_rates=[SR, 2 * SR], expected_sample_rate=SR,
+            on_rate_mismatch="resample")
+        (data, lens), = list(loader)
+        assert lens[1] == SR  # 2s at 2*SR -> 1s window at SR, full target
+        np.testing.assert_allclose(data[0], arrays[0], atol=1e-7)
+
+    def test_from_arrays_validation(self):
+        from spectrograms_tpu.runtime.loader import AudioBatchLoader
+
+        with pytest.raises(sg.InvalidInputError, match="non-empty"):
+            AudioBatchLoader.from_arrays([], batch_size=2, target_len=SR)
+        with pytest.raises(sg.InvalidInputError, match="sample_rates"):
+            AudioBatchLoader.from_arrays(
+                [np.ones(8), np.ones(8)], batch_size=2, target_len=SR,
+                sample_rates=[16000])
