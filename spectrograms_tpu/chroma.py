@@ -347,5 +347,19 @@ def compute_chromagram(
     chroma_params: ChromaParams = ChromaParams.music_standard(),
     dtype=None,
 ) -> Chromagram:
-    """One-shot chromagram (parity with the PyO3 ``compute_chromagram``)."""
+    """One-shot chromagram (parity with the PyO3 ``compute_chromagram``).
+
+    Examples
+    --------
+    A pure A4 (440 Hz) concentrates its energy in pitch class A (index 9):
+
+    >>> import numpy as np
+    >>> from spectrograms_tpu import StftParams, compute_chromagram
+    >>> x = np.sin(2 * np.pi * 440 * np.arange(44100) / 44100)
+    >>> ch = compute_chromagram(x, StftParams(4096, 1024), 44100.0)
+    >>> ch.data.shape[0]
+    12
+    >>> int(np.asarray(ch.data).mean(axis=1).argmax())
+    9
+    """
     return chromagram(samples, stft_params, sample_rate, chroma_params, dtype)

@@ -33,7 +33,16 @@ __all__ = [
 
 
 def frame_count(n_samples: int, n_fft: int, hop_size: int, centre: bool) -> int:
-    """Number of STFT frames for a signal of ``n_samples``."""
+    """Number of STFT frames for a signal of ``n_samples``.
+
+    Examples
+    --------
+    >>> from spectrograms_tpu.ops.framing import frame_count
+    >>> frame_count(16000, 1024, 256, True)   # centre pads n_fft//2 each side
+    63
+    >>> frame_count(16000, 1024, 256, False)
+    59
+    """
     if n_samples <= 0:
         raise InvalidInputError("signal must be non-empty")
     pad = n_fft // 2 if centre else 0

@@ -220,7 +220,15 @@ def from_dict(d: Dict[str, Any]) -> Any:
 
 
 def to_json(obj: Any, indent: int | None = None) -> str:
-    """Serialize to a JSON string."""
+    """Serialize to a JSON string.
+
+    Examples
+    --------
+    >>> from spectrograms_tpu import StftParams
+    >>> from spectrograms_tpu.serde import from_json, to_json
+    >>> from_json(to_json(StftParams(1024, 256))) == StftParams(1024, 256)
+    True
+    """
     return json.dumps(to_dict(obj), indent=indent)
 
 

@@ -220,6 +220,14 @@ def parse_window(s: str) -> WindowType:
 
     Grammar parity with the reference's ``FromStr``
     (``/root/reference/src/window.rs:274-338``).
+
+    Examples
+    --------
+    >>> from spectrograms_tpu import parse_window
+    >>> parse_window("hann").kind
+    'hanning'
+    >>> parse_window("kaiser=8.0").param
+    8.0
     """
     if not isinstance(s, str) or not s:
         raise InvalidInputError(
@@ -245,6 +253,15 @@ def make_window(window: WindowType, n_fft: int, dtype=np.float64) -> np.ndarray:
     (``/root/reference/src/spectrogram.rs:2159-2259``): cosine windows use
     (N-1) denominators; Kaiser centers at (N-1)/2 with I0 Bessel; Gaussian is
     exp(-((n-c)/std)^2 / 2). Computed in float64, cast to ``dtype``.
+
+    Examples
+    --------
+    >>> from spectrograms_tpu import WindowType, make_window
+    >>> w = make_window(WindowType.hanning, 8)
+    >>> w.shape, float(w[0]), round(float(w.max()), 6)
+    ((8,), 0.0, 0.950484)
+    >>> make_window("rect", 4).tolist()
+    [1.0, 1.0, 1.0, 1.0]
     """
     if isinstance(window, str):
         window = parse_window(window)
