@@ -2592,6 +2592,15 @@ def make_window(window, n_fft, dtype = ...):
     (``/root/reference/src/spectrogram.rs:2159-2259``): cosine windows use
     (N-1) denominators; Kaiser centers at (N-1)/2 with I0 Bessel; Gaussian is
     exp(-((n-c)/std)^2 / 2). Computed in float64, cast to ``dtype``.
+
+    Examples
+    --------
+    >>> from spectrograms_tpu import WindowType, make_window
+    >>> w = make_window(WindowType.hanning, 8)
+    >>> w.shape, float(w[0]), round(float(w.max()), 6)
+    ((8,), 0.0, 0.950484)
+    >>> make_window("rect", 4).tolist()
+    [1.0, 1.0, 1.0, 1.0]
     """
     ...
 
@@ -2600,6 +2609,14 @@ def parse_window(s):
 
     Grammar parity with the reference's ``FromStr``
     (``/root/reference/src/window.rs:274-338``).
+
+    Examples
+    --------
+    >>> from spectrograms_tpu import parse_window
+    >>> parse_window("hann").kind
+    'hanning'
+    >>> parse_window("kaiser=8.0").param
+    8.0
     """
     ...
 
@@ -2710,7 +2727,18 @@ def mfcc_from_log_mel(log_mel_spec, params = ...):
     ...
 
 def compute_mfcc(samples, stft_params, sample_rate, n_mels = 40, mfcc_params = ..., dtype = None):
-    """One-shot MFCC (parity with the PyO3 ``compute_mfcc``)."""
+    """One-shot MFCC (parity with the PyO3 ``compute_mfcc``).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from spectrograms_tpu import MfccParams, StftParams, compute_mfcc
+    >>> x = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)
+    >>> m = compute_mfcc(x, StftParams(512, 256), 16000.0, n_mels=40,
+    ...                  mfcc_params=MfccParams(n_mfcc=13))
+    >>> m.data.shape
+    (13, 63)
+    """
     ...
 
 def delta(features, width = 9, order = 1):
@@ -2733,7 +2761,21 @@ def chromagram_from_spectrogram(spectrogram, sample_rate, n_fft, params = ...):
     ...
 
 def compute_chromagram(samples, stft_params, sample_rate, chroma_params = ..., dtype = None):
-    """One-shot chromagram (parity with the PyO3 ``compute_chromagram``)."""
+    """One-shot chromagram (parity with the PyO3 ``compute_chromagram``).
+
+    Examples
+    --------
+    A pure A4 (440 Hz) concentrates its energy in pitch class A (index 9):
+
+    >>> import numpy as np
+    >>> from spectrograms_tpu import StftParams, compute_chromagram
+    >>> x = np.sin(2 * np.pi * 440 * np.arange(44100) / 44100)
+    >>> ch = compute_chromagram(x, StftParams(4096, 1024), 44100.0)
+    >>> ch.data.shape[0]
+    12
+    >>> int(np.asarray(ch.data).mean(axis=1).argmax())
+    9
+    """
     ...
 
 def cqt(samples, sample_rate, params, hop_size, dtype = None, precision = None):
@@ -2768,7 +2810,24 @@ def gammatone_iir_spectrogram(samples, sample_rate, frame_size, hop_size, erb_pa
     ...
 
 def mdct(samples, params, dtype = None, precision = None, method = 'auto'):
-    """MDCT coefficients, shape (N, n_frames)."""
+    """MDCT coefficients, shape (N, n_frames).
+
+    Examples
+    --------
+    Perfect reconstruction (TDAC): mdct → imdct round-trips the interior
+    exactly (edges lack overlap partners):
+
+    >>> import numpy as np
+    >>> from spectrograms_tpu import MdctParams, imdct, mdct
+    >>> p = MdctParams.sine_window(64)
+    >>> x = np.cos(np.arange(512) / 7.0).astype(np.float64)
+    >>> c = mdct(x, p)
+    >>> c.shape
+    (32, 15)
+    >>> y = np.asarray(imdct(c, p, original_length=512))
+    >>> bool(np.allclose(y[32:-32], x[32:-32], atol=1e-10))
+    True
+    """
     ...
 
 def imdct(coefficients, params, original_length = None, dtype = None, precision = None, method = 'auto'):
@@ -2776,7 +2835,24 @@ def imdct(coefficients, params, original_length = None, dtype = None, precision 
     ...
 
 def compute_mdct(samples, params, dtype = None, precision = None, method = 'auto'):
-    """MDCT coefficients, shape (N, n_frames)."""
+    """MDCT coefficients, shape (N, n_frames).
+
+    Examples
+    --------
+    Perfect reconstruction (TDAC): mdct → imdct round-trips the interior
+    exactly (edges lack overlap partners):
+
+    >>> import numpy as np
+    >>> from spectrograms_tpu import MdctParams, imdct, mdct
+    >>> p = MdctParams.sine_window(64)
+    >>> x = np.cos(np.arange(512) / 7.0).astype(np.float64)
+    >>> c = mdct(x, p)
+    >>> c.shape
+    (32, 15)
+    >>> y = np.asarray(imdct(c, p, original_length=512))
+    >>> bool(np.allclose(y[32:-32], x[32:-32], atol=1e-10))
+    True
+    """
     ...
 
 def compute_imdct(coefficients, params, original_length = None, dtype = None, precision = None, method = 'auto'):
