@@ -251,7 +251,12 @@ class LogParams:
 
 
 class MelNorm(Enum):
-    """Mel filterbank normalization (None / Slaney / L1 / L2)."""
+    """Mel filterbank normalization (None / Slaney / L1 / L2).
+
+    The lowercase names are aliases (``MelNorm.slaney is MelNorm.SLANEY``)
+    matching the reference pyclass's classattrs
+    (``/root/reference/src/python/params.rs:733-749``).
+    """
     NONE = 'none'
     SLANEY = 'slaney'
     L1 = 'l1'

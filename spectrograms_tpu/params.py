@@ -257,12 +257,22 @@ class LogParams:
 
 
 class MelNorm(enum.Enum):
-    """Mel filterbank normalization (None / Slaney / L1 / L2)."""
+    """Mel filterbank normalization (None / Slaney / L1 / L2).
+
+    The lowercase names are aliases (``MelNorm.slaney is MelNorm.SLANEY``)
+    matching the reference pyclass's classattrs
+    (``/root/reference/src/python/params.rs:733-749``).
+    """
 
     NONE = "none"
     SLANEY = "slaney"
     L1 = "l1"
     L2 = "l2"
+    # enum aliasing: equal values bind extra NAMES to the same members
+    none = "none"
+    slaney = "slaney"
+    l1 = "l1"
+    l2 = "l2"
 
     @classmethod
     def parse(cls, v) -> "MelNorm":

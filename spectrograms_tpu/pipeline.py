@@ -151,6 +151,10 @@ class Spectrogram:
         """Index straight into the data array (python/spectrogram.rs:463)."""
         return self.data[idx]
 
+    def __len__(self) -> int:
+        """Number of time frames (python/spectrogram.rs:420)."""
+        return self.n_frames
+
     def db_range(self) -> Optional[Tuple[float, float]]:
         """(min, max) of the data when in decibels, else None."""
         if self.amp_scale != AmpScale.DECIBELS:
