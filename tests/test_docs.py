@@ -21,6 +21,8 @@ GUIDES = [
     "docs/choosing_parameters.md",
     "docs/frequency_scales.md",
     "docs/ml_integration.md",
+    "docs/performance.md",
+    "docs/audio_features.md",
 ]
 
 _BLOCK = re.compile(r"```python\n(.*?)```", re.DOTALL)
