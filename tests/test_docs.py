@@ -23,6 +23,7 @@ GUIDES = [
     "docs/ml_integration.md",
     "docs/performance.md",
     "docs/audio_features.md",
+    "docs/image_processing.md",
 ]
 
 _BLOCK = re.compile(r"```python\n(.*?)```", re.DOTALL)
