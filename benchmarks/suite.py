@@ -452,13 +452,21 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
 
     from spectrograms_tpu.runtime.loader import AudioBatchLoader
 
-    t0 = _time.perf_counter()
-    audio = 0.0
-    for _, lengths, _srs in AudioBatchLoader(
-        paths, batch_size=32, target_len=sr * 10, n_threads=4
-    ).iter_borrowed():
-        audio += float(lengths.sum()) / sr
-    loader_rate = audio / (_time.perf_counter() - t0)
+    def _loader_rate(dtype):
+        t0 = _time.perf_counter()
+        audio = 0.0
+        for _, lengths, _srs in AudioBatchLoader(
+            paths, batch_size=32, target_len=sr * 10, n_threads=4,
+            dtype=dtype,
+        ).iter_borrowed():
+            audio += float(lengths.sum()) / sr
+        return audio / (_time.perf_counter() - t0)
+
+    # Measure the decode path of BOTH transports: the headline row is
+    # int16 (verbatim PCM reads), the comparison row f32 — attributing
+    # either end-to-end wall needs its own loader component.
+    loader_rate_i16 = _loader_rate("int16")
+    loader_rate = _loader_rate("float32")
 
     x32 = np.zeros((32, sr * 10), dtype=np.float32)
     xb = jnp.asarray(x32)
@@ -490,7 +498,8 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
             "range": [rates_f32[0], rates_f32[-1]],
         },
         "components_audio_s_per_s": {
-            "loader(4t)": round(loader_rate, 1),
+            "loader(4t)_f32": round(loader_rate, 1),
+            "loader(4t)_i16": round(loader_rate_i16, 1),
             "host_to_device_f32": round(upload_rate, 1),
             "host_to_device_i16": round(upload_rate_i16, 1),
             "one_program_roundtrip": round(dispatch_rate, 1),

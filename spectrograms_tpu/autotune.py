@@ -299,13 +299,19 @@ def autotune_plan(
         raise InvalidInputError("x_sample must be a 1-D signal or (B, n) batch")
     key = _plan_key(plan, x.shape)
     if use_wisdom and key in _WISDOM:
-        return AutotuneResult(
-            winner=_WISDOM[key],
-            plan=_rebuild_with_method(plan, _WISDOM[key]),
-            timings_ms={},
-            key=key,
-            from_cache=True,
-        )
+        try:
+            return AutotuneResult(
+                winner=_WISDOM[key],
+                plan=_rebuild_with_method(plan, _WISDOM[key]),
+                timings_ms={},
+                key=key,
+                from_cache=True,
+            )
+        except InvalidInputError:
+            # Stale wisdom (e.g. a variant string an upgrade made invalid
+            # for this plan's tier): drop the entry and re-tune instead of
+            # crashing the caller.
+            _WISDOM.pop(key, None)
 
     chosen = (
         methods if methods is not None

@@ -29,8 +29,7 @@ __all__ = ["CqtResult", "cqt"]
 _MAX_KERNEL_FRAME = 16384
 
 
-def multirate_ri_blocks(x, groups_dev, frame_len: int, hop: int, nf: int,
-                        precision):
+def multirate_ri_blocks(x, groups_dev, hop: int, nf: int, precision):
     """Per-group [re | −im] correlations of the octave-stacked CQT.
 
     ``groups_dev``: list of ``(d, k_ri_device, e0, flen, jp)`` from
@@ -193,9 +192,7 @@ def cqt(samples, sample_rate: float, params: CqtParams, hop_size: int, dtype=Non
             for d, k_ri, e0, flen, jp in groups
         ]
         nf = frame_count(int(x.shape[0]), int(frame_len), int(hop_size), False)
-        blocks = multirate_ri_blocks(
-            x, groups_dev, int(frame_len), int(hop_size), nf, prec
-        )
+        blocks = multirate_ri_blocks(x, groups_dev, int(hop_size), nf, prec)
         parts = []
         for ri in blocks:
             nb = ri.shape[-1] // 2

@@ -305,7 +305,7 @@ def multirate_cqt_groups(params: CqtParams, sample_rate: float,
     ``cqt.rs:481-514``).
     """
     if depth not in ("min", "max"):
-        raise ValueError(f"depth must be 'min' or 'max', got {depth!r}")
+        raise InvalidInputError(f"depth must be 'min' or 'max', got {depth!r}")
     d_max = max_decimation(frame_length, hop, centre)
     from .decimate import HALFBAND_PASSBAND_FRAC
 

@@ -151,8 +151,19 @@ class Spectrogram:
         """Index straight into the data array (python/spectrogram.rs:463)."""
         return self.data[idx]
 
+    def __iter__(self):
+        """Iterate rows of the data array. Explicit because JAX clamps
+        out-of-bounds integer indices: without this, Python's legacy
+        __getitem__ iteration protocol would never raise IndexError and
+        `list(spec)` would loop forever. Matches the reference's behavior
+        (numpy data rows, stopping at n_bins)."""
+        return iter(self.data)
+
     def __len__(self) -> int:
-        """Number of time frames (python/spectrogram.rs:420)."""
+        """Number of time frames (python/spectrogram.rs:420). NOTE: this is
+        the reference's contract (python/spectrogram.rs:420) and counts
+        FRAMES, while __getitem__/__iter__ index the raw (bins, frames)
+        data — the same asymmetry the reference ships."""
         return self.n_frames
 
     def db_range(self) -> Optional[Tuple[float, float]]:
@@ -768,8 +779,7 @@ class SpectrogramPlan:
 
                 nf = _fc(int(x.shape[-1]), self._n_fft, self._hop, self._centre)
                 blocks = multirate_ri_blocks(
-                    x, self._cqt_multirate, self._n_fft, self._hop, nf,
-                    self.precision,
+                    x, self._cqt_multirate, self._hop, nf, self.precision
                 )
                 mapped = jnp.concatenate(
                     [self._cqt_power(ri, ri.shape[-1] // 2) for ri in blocks],

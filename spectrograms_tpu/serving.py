@@ -139,7 +139,14 @@ class FeaturePipeline:
                 out_shardings=self._sharding,
             )
         elif self._i16:
-            self._step = jax.jit(jax.vmap(_row_forward))
+            # Cache on the plan like _forward_batch: a per-instance closure
+            # would be a distinct jit cache key per pipeline (each distinct
+            # program is a 30-90 s remote compile on this rig).
+            step = getattr(plan, "_i16_forward_batch", None)
+            if step is None:
+                step = jax.jit(jax.vmap(_row_forward))
+                plan._i16_forward_batch = step
+            self._step = step
         else:
             self._step = plan._forward_batch
 

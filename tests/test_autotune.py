@@ -267,3 +267,34 @@ def test_rebuild_preserves_multirate_mel_and_mfcc():
     am = np.asarray(mfcc.compute(x).data)
     bm = np.asarray(mre.compute(x).data)
     assert np.abs(am - bm).max() <= 1e-3 * np.abs(am).max()
+
+
+def test_stale_wisdom_entry_retunes_instead_of_crashing():
+    import sys
+    """A persisted variant string an upgrade made invalid for the plan's
+    tier (e.g. 'pallas:stack' on a DEFAULT-precision plan, rejected since
+    x3_stack became x3-only) must fall through to re-tuning, not raise."""
+    import jax
+    import numpy as np
+
+    import spectrograms_tpu as sg
+    import spectrograms_tpu.autotune
+    at = sys.modules["spectrograms_tpu.autotune"]
+
+    plan = sg.MelDbPlan(
+        sg.SpectrogramParams(sg.StftParams(1024, 256), 16000.0),
+        sg.MelParams(64, 0.0, 8000.0, sg.MelNorm.SLANEY),
+        sg.LogParams(-80.0),
+        dtype="float32",
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    x = np.zeros((2, 16000), dtype=np.float32)
+    key = at._plan_key(plan, x.shape)
+    at._WISDOM[key] = "pallas:stack"  # stale: invalid for this tier now
+    try:
+        res = sg.autotune_plan(plan, x)
+        assert not res.from_cache           # the stale entry was dropped
+        assert res.winner != "pallas:stack"
+        assert key not in at._WISDOM or at._WISDOM[key] != "pallas:stack"
+    finally:
+        at._WISDOM.pop(key, None)

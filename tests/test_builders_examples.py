@@ -72,6 +72,7 @@ EXAMPLES = [
     "precision_modes.py",
     "trainable_frontend.py",
     "cqt_multirate.py",
+    "serving_memory_source.py",
 ]
 
 REPO = Path(__file__).resolve().parents[1]

@@ -32,3 +32,17 @@ def test_clear_fft_plan_cache_resets_counters():
     host = {k: v for k, v in sg.cache_stats().items()
             if not k.startswith(("device.", "autotune."))}
     assert all(v["currsize"] == 0 for v in host.values())
+
+
+def test_spectrogram_iteration_terminates():
+    """JAX clamps OOB integer indices, so without an explicit __iter__ the
+    legacy __getitem__ protocol would loop forever on list(spec)."""
+    import numpy as np
+
+    import spectrograms_tpu as sg
+
+    p = sg.SpectrogramParams(sg.StftParams(256, 128), 8000.0)
+    s = sg.compute_linear_power_spectrogram(np.zeros(8000), p)
+    rows = list(s)
+    assert len(rows) == s.n_bins
+    assert len(s) == s.n_frames  # reference contract (frames), as shipped
