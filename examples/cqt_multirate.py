@@ -59,3 +59,15 @@ for name, plan in (("clamped", plan_clamped), ("multirate", plan_full)):
 # --- standalone complex CQT honours the flag too -----------------------------
 r = sg.cqt(x, float(sr), sg.CqtParams(12, 7, 32.703, multirate=True), hop_size=1024)
 print("standalone multirate:", r.data.shape, "bins x frames,", r.dtype)
+
+# --- the speed tier: depth="max" ---------------------------------------------
+# depth="min" (above) decimates only as deep as full Q requires; "max"
+# decimates every octave as deep as aliasing allows and shrinks each
+# group's frame to its kernels — the classic recursive-downsampling CQT,
+# ~1.7x faster at ~0.7% steady-state deviation (docs/KERNEL_AB.md round 4).
+plan_fast = sg.CqtPowerPlan(
+    params, cqt_params.with_multirate(depth="max"), dtype="float32"
+)
+a = np.asarray(plan_full.compute(x).data)
+b = np.asarray(plan_fast.compute(x).data)
+print(f"depth=max vs depth=min: max rel {np.abs(a - b).max() / a.max():.2e}")
