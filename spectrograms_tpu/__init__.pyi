@@ -554,6 +554,15 @@ class Spectrogram:
         """DLPack device tuple (device_type, device_id)."""
         ...
 
+    def __iter__(self):
+        """Iterate rows of the data array. Explicit because JAX clamps
+        out-of-bounds integer indices: without this, Python's legacy
+        __getitem__ iteration protocol would never raise IndexError and
+        `list(spec)` would loop forever. Matches the reference's behavior
+        (numpy data rows, stopping at n_bins).
+        """
+        ...
+
     def astype(self, dtype):
         """The data cast to ``dtype`` (array, not a Spectrogram — reference
         method, python/spectrogram.rs:438).
@@ -2865,7 +2874,16 @@ def compute_imdct(coefficients, params, original_length = None, dtype = None, pr
     ...
 
 def fft_convolve(a, b, dtype = None):
-    """Linear convolution via FFT; output length ``len(a)+len(b)−1``."""
+    """Linear convolution via FFT; output length ``len(a)+len(b)−1``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from spectrograms_tpu import fft_convolve
+    >>> y = np.asarray(fft_convolve([1.0, 2.0, 3.0], [1.0, 1.0]))
+    >>> np.round(y, 6).tolist()
+    [1.0, 3.0, 5.0, 3.0]
+    """
     ...
 
 def fft_deconvolve(numerator, denominator, regularization = 1e-06, dtype = None):
@@ -2982,7 +3000,23 @@ def magphase(complex_spect, power = 1):
     ...
 
 def compute_itd_spectrogram(audio, params, dtype = None):
-    """ITD spectrogram in seconds over the params' bin range."""
+    """ITD spectrogram in seconds over the params' bin range.
+
+    Examples
+    --------
+    A pure integer-lag stereo pair recovers its lag in seconds:
+
+    >>> import numpy as np
+    >>> import spectrograms_tpu as sg
+    >>> sr = 16000
+    >>> left = np.random.default_rng(0).standard_normal(sr)
+    >>> stereo = np.stack([left, np.roll(left, 8)])
+    >>> p = sg.ITDSpectrogramParams(
+    ...     sg.SpectrogramParams(sg.StftParams(1024, 256), sr))
+    >>> itd = sg.compute_itd_spectrogram(stereo, p)
+    >>> bool(abs(float(np.median(np.asarray(itd.data))) - 8 / sr) < 2e-4)
+    True
+    """
     ...
 
 def compute_ipd_spectrogram(audio, params, dtype = None):

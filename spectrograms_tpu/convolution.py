@@ -47,7 +47,16 @@ def _convolve_impl(a, b, n_fft, out_len):
 
 
 def fft_convolve(a, b, dtype=None):
-    """Linear convolution via FFT; output length ``len(a)+len(b)−1``."""
+    """Linear convolution via FFT; output length ``len(a)+len(b)−1``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from spectrograms_tpu import fft_convolve
+    >>> y = np.asarray(fft_convolve([1.0, 2.0, 3.0], [1.0, 1.0]))
+    >>> np.round(y, 6).tolist()
+    [1.0, 3.0, 5.0, 3.0]
+    """
     dt = parse_dtype(dtype if dtype is not None else getattr(a, "dtype", None))
     xa = jnp.asarray(a).astype(dt)
     xb = jnp.asarray(b).astype(dt)

@@ -19,6 +19,8 @@ MODULES = [
     "spectrograms_tpu.mdct",
     "spectrograms_tpu.mfcc",
     "spectrograms_tpu.chroma",
+    "spectrograms_tpu.convolution",
+    "spectrograms_tpu.binaural",
 ]
 
 
