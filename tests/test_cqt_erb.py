@@ -451,3 +451,39 @@ class TestMultirateMaxDepth:
     def test_bad_depth_rejected(self):
         with pytest.raises(sg.InvalidInputError, match="multirate_depth"):
             sg.CqtParams(12, 7, 32.703, multirate_depth="deep")
+
+
+@pytest.mark.parametrize("sr,n_fft,hop,f_min,bpo,octaves", [
+    (44100.0, 4096, 1024, 32.703, 12, 7),   # the config-4 musical preset
+    (44100.0, 2048, 512, 65.41, 12, 6),     # shorter frame, C2 up
+    (22050.0, 2048, 512, 32.703, 12, 6),    # lower rate
+    (48000.0, 4096, 2048, 55.0, 24, 5),     # 24 bins/octave, sparse hop
+])
+def test_max_depth_equivalence_sweep(sr, n_fft, hop, f_min, bpo, octaves):
+    """depth='max' stays within its documented class of depth='min' (both
+    full-Q) across rates, frame sizes, hops and bin densities — steady
+    state, energetic bins."""
+    rng = np.random.default_rng(5)
+    t = np.arange(int(2.5 * sr)) / sr
+    x = (
+        np.sin(2 * np.pi * 2.0 * f_min * t)
+        + 0.6 * np.sin(2 * np.pi * 8.1 * f_min * t)
+        + 0.02 * rng.standard_normal(t.size)
+    ).astype(np.float64)
+    params = sg.SpectrogramParams(sg.StftParams(n_fft, hop), sr)
+    cqt = sg.CqtParams(bpo, octaves, f_min)
+    a = np.asarray(sg.CqtPowerPlan(
+        params, cqt.with_multirate(), dtype="float64").compute(x).data)
+    b = np.asarray(sg.CqtPowerPlan(
+        params, cqt.with_multirate(depth="max"), dtype="float64"
+    ).compute(x).data)
+    assert a.shape == b.shape
+    # steady-state frames: skip the longest kernel's onset transient
+    L0 = cqt.q_factor * sr / f_min
+    first_full = max(0, int(np.ceil((L0 - n_fft // 2) / hop)))
+    ss = slice(first_full, max(first_full + 1, a.shape[1] - 2))
+    en = a[:, ss] > 0.01 * a.max()
+    assert en.any()
+    rel = np.abs(a[:, ss] - b[:, ss])[en] / a[:, ss][en]
+    assert rel.max() < 5e-2, rel.max()
+    assert np.abs(a[:, ss] - b[:, ss])[~en].max() / a.max() < 5e-3
