@@ -91,7 +91,14 @@ class CostEstimate:
         """Roofline lower-bound runtime on the given chip."""
         chip = chip or detect_chip()
         s = str(dtype).lower()
-        peak = chip.bf16_tflops if ("bf16" in s or "bfloat16" in s) else chip.f32_tflops
+        if "bf16x3" in s:
+            peak = chip.bf16_tflops / 3.0   # 3-pass hi/lo tier
+        elif "bf16x2" in s:
+            peak = chip.bf16_tflops / 2.0   # 2-pass middle tier
+        elif "bf16" in s or "bfloat16" in s:
+            peak = chip.bf16_tflops
+        else:
+            peak = chip.f32_tflops
         t_compute = self.flops / (peak * 1e12)
         t_memory = self.bytes_hbm / (chip.hbm_gbps * 1e9)
         return max(t_compute, t_memory)
