@@ -442,13 +442,21 @@ SG_API int64_t sg_wav_decode_into_i16(const char* path, int16_t* dst,
     return static_cast<int64_t>(keep);
   }
   fclose(f);
-  std::vector<float> tmp(static_cast<size_t>(cap));
+  // Non-PCM16 fallback: decode to float, quantize. Per-thread scratch so
+  // the loader workers' hot path allocates once per (thread, cap growth),
+  // and only the `len` decoded samples are quantized — the zeroed tail is
+  // memset directly.
+  thread_local std::vector<float> tmp;
+  if (tmp.size() < static_cast<size_t>(cap)) tmp.resize(static_cast<size_t>(cap));
   const int64_t len = sg_wav_decode_into(path, tmp.data(), cap, sample_rate);
   if (len < 0) return -1;
-  for (int64_t i = 0; i < cap; ++i) {
+  for (int64_t i = 0; i < len; ++i) {
     float v = tmp[static_cast<size_t>(i)] * 32768.0f;
     v = v < -32768.0f ? -32768.0f : (v > 32767.0f ? 32767.0f : v);
     dst[i] = static_cast<int16_t>(lrintf(v));
+  }
+  if (len < cap) {
+    memset(dst + len, 0, static_cast<size_t>(cap - len) * 2);
   }
   return len;
 } catch (const std::exception& e) {

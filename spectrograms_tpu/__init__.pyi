@@ -388,6 +388,25 @@ class CqtParams:
       — per-octave work drops ~4× per extra level, making the multirate
       CQT a *speed* path, at the cost of half-band passband flatness
       (~2e-5/level) on bins that previously ran at the full rate.
+
+    ``truncate`` is the correctness-of-defaults policy for kernels longer
+    than the analysis frame (the reference silently clamps them,
+    ``cqt.rs:376-384``, which costs up to ~64 % value error on low bins
+    vs the untruncated ideal — ``benchmarks/cqt_multirate_ab.json``):
+
+    - ``None`` (default, *auto*): plans and :func:`cqt` switch to the
+      full-Q octave-stacked multirate path (``depth="max"``) whenever any
+      kernel would lose more than 1 % of its effective Q to truncation
+      (``TRUNCATION_Q_LOSS_THRESHOLD``) and the frame/hop alignment
+      admits decimation — correct by default, ~1.4× the dense cost.
+    - ``True``: keep the reference-parity dense truncated kernels (the
+      speed tier) without the truncation warning — an explicit,
+      documented accuracy trade.
+    - ``False``: require full Q — always use the multirate path when
+      truncation would occur, and keep the residual-truncation warning if
+      even the deepest aligned decimation cannot restore it.
+
+    An explicit ``multirate=True`` overrides ``truncate`` entirely.
     """
     bins_per_octave: Any
     n_octaves: Any
@@ -398,6 +417,7 @@ class CqtParams:
     normalize: Any = True
     multirate: Any = False
     multirate_depth: Any = 'min'
+    truncate: Any = None
 
     def bin_bandwidth(self, bin_idx):
         ...
@@ -442,6 +462,10 @@ class CqtParams:
         ...
 
     def with_sparsity(self, threshold):
+        ...
+
+    def with_truncate(self, truncate):
+        """Set the long-kernel policy (see the class docstring)."""
         ...
 
     def with_window(self, window):

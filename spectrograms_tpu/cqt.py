@@ -29,7 +29,8 @@ __all__ = ["CqtResult", "cqt"]
 _MAX_KERNEL_FRAME = 16384
 
 
-def multirate_ri_blocks(x, groups_dev, hop: int, nf: int, precision):
+def multirate_ri_blocks(x, groups_dev, hop: int, nf: int, precision,
+                        composite: bool = False):
     """Per-group [re | −im] correlations of the octave-stacked CQT.
 
     ``groups_dev``: list of ``(d, k_ri_device, e0, flen, jp)`` from
@@ -52,6 +53,14 @@ def multirate_ri_blocks(x, groups_dev, hop: int, nf: int, precision):
     unpacked by a reshape. See multirate_cqt_groups for why this beats
     gather framing at deep d.
 
+    ``composite=True`` (the depth="max" speed path) lets the decimation
+    cascade skip levels no group consumes via stride-4 composite half-band
+    stages — halving the cascade's HBM traffic, its dominant cost.
+    Composite and cascaded half-bands agree in the passband but differ
+    near signal edges, so the quality path (depth="min") keeps
+    ``composite=False``: every level is built by single half-band stages,
+    bitwise the classic cascade regardless of which depths have groups.
+
     Returns a list of (nf, 2·nb) arrays in group (= ascending bin) order.
     """
     from .ops.decimate import decimate_pow2_framed
@@ -61,19 +70,15 @@ def multirate_ri_blocks(x, groups_dev, hop: int, nf: int, precision):
 
     def get_level(d):
         # Lazy cascade, banded framed matmuls (MXU-native — the 1-channel
-        # conv lowering starves the MXU; see ops/decimate.py). A level with
-        # its predecessor present takes one half-band stage; otherwise a
-        # stride-4 composite stage from two levels below, so depth="max"
-        # (even depths only) never materializes the odd levels — halving
-        # the cascade's HBM traffic, its dominant cost.
+        # conv lowering starves the MXU; see ops/decimate.py).
         if d not in levels:
-            if d - 1 in levels:
+            if composite and d - 1 not in levels and d >= 2:
                 levels[d] = decimate_pow2_framed(
-                    levels[d - 1], 1, precision=precision
+                    get_level(d - 2), 2, precision=precision
                 )
             else:
                 levels[d] = decimate_pow2_framed(
-                    get_level(d - 2), 2, precision=precision
+                    get_level(d - 1), 1, precision=precision
                 )
         return levels[d]
 
@@ -171,6 +176,15 @@ def cqt(samples, sample_rate: float, params: CqtParams, hop_size: int, dtype=Non
         raise InvalidInputError("hop_size must be > 0")
 
     frame_len = min(x.shape[0], _MAX_KERNEL_FRAME)
+    # Correct-by-default policy (CqtParams.truncate): elect the full-Q
+    # octave-stacked path when truncation would cost >1 % effective Q and
+    # the hop alignment admits decimation (ops/cqt.py::resolve_cqt_policy);
+    # truncate=True keeps the reference-parity dense clamp.
+    from .ops.cqt import resolve_cqt_policy
+
+    params = resolve_cqt_policy(
+        params, float(sample_rate), int(frame_len), int(hop_size), False
+    )
     prec = (
         jax.lax.Precision(precision)
         if precision is not None
@@ -192,7 +206,10 @@ def cqt(samples, sample_rate: float, params: CqtParams, hop_size: int, dtype=Non
             for d, k_ri, e0, flen, jp in groups
         ]
         nf = frame_count(int(x.shape[0]), int(frame_len), int(hop_size), False)
-        blocks = multirate_ri_blocks(x, groups_dev, int(hop_size), nf, prec)
+        blocks = multirate_ri_blocks(
+            x, groups_dev, int(hop_size), nf, prec,
+            composite=params.multirate_depth == "max",
+        )
         parts = []
         for ri in blocks:
             nb = ri.shape[-1] // 2

@@ -23,10 +23,17 @@ from functools import lru_cache
 
 import numpy as np
 
+from ..errors import InvalidInputError
 from ..params import CqtParams
 from ..windows import make_window
 
-__all__ = ["cqt_kernel_matrices", "cqt_bin_frequencies"]
+__all__ = [
+    "cqt_kernel_matrices",
+    "cqt_bin_frequencies",
+    "resolve_cqt_policy",
+    "truncation_q_loss",
+    "TRUNCATION_Q_LOSS_THRESHOLD",
+]
 
 
 def _kernel_row(params: CqtParams, fc: float, sample_rate: float,
@@ -84,7 +91,11 @@ def _cqt_kernels_cached(params: CqtParams, sample_rate: float, frame_length: int
         rows_im.append(row_mim)
         freqs.append(fc)
 
-    if truncated and not getattr(params, "multirate", False):
+    if (
+        truncated
+        and not getattr(params, "multirate", False)
+        and getattr(params, "truncate", None) is not True
+    ):
         # The reference silently clamps kernels to the signal length
         # (cqt.rs:380-392); an integrated plan additionally clamps to n_fft.
         # A truncated kernel has less than its nominal Q — warn instead of
@@ -109,6 +120,58 @@ def _cqt_kernels_cached(params: CqtParams, sample_rate: float, frame_length: int
     for a in (k_re, k_im, f):
         a.setflags(write=False)
     return k_re, k_im, f
+
+
+# Correct-by-default policy (CqtParams.truncate, round-5): kernels losing
+# more than this fraction of their effective Q to frame truncation flip the
+# plan to the full-Q octave-stacked path. 1 %: below it the value error vs
+# the untruncated ideal is within the multirate path's own anti-alias
+# accuracy class (~2e-5/level), so the dense kernels are strictly cheaper.
+TRUNCATION_Q_LOSS_THRESHOLD = 0.01
+
+
+def truncation_q_loss(params: CqtParams, sample_rate: float,
+                      frame_length: int) -> float:
+    """Worst-case effective-Q loss fraction over the generated bins.
+
+    A kernel of nominal length L clamped to F < L samples keeps only F/L
+    of its Q (``/root/reference/src/cqt.rs:376-384`` does this silently);
+    returns max(1 − F/L) over bins, 0.0 when every kernel fits.
+    """
+    worst = 0.0
+    for bin_idx in range(params.num_bins):
+        fc = params.bin_frequency(bin_idx)
+        if fc >= sample_rate / 2.0:
+            break
+        nominal = int(np.round(params.q_factor * sample_rate / fc))
+        if nominal > frame_length > 1:
+            worst = max(worst, 1.0 - frame_length / nominal)
+    return worst
+
+
+def resolve_cqt_policy(params: CqtParams, sample_rate: float,
+                       frame_length: int, hop: int, centre: bool) -> CqtParams:
+    """Apply the ``CqtParams.truncate`` policy at plan-build time.
+
+    Returns ``params`` unchanged, or with ``multirate=True, depth="max"``
+    when the policy elects the full-Q octave-stacked path:
+
+    - explicit ``multirate=True`` or ``truncate=True`` → unchanged;
+    - ``truncate=None`` (auto) → multirate iff some kernel loses more than
+      ``TRUNCATION_Q_LOSS_THRESHOLD`` of its Q *and* decimation alignment
+      permits (otherwise the dense builder's warning stands);
+    - ``truncate=False`` → multirate on any truncation at all (alignment
+      permitting; the residual-truncation warning covers the rest).
+    """
+    if params.multirate or params.truncate is True:
+        return params
+    loss = truncation_q_loss(params, sample_rate, frame_length)
+    threshold = TRUNCATION_Q_LOSS_THRESHOLD if params.truncate is None else 0.0
+    if loss <= threshold:
+        return params
+    if max_decimation(frame_length, hop, centre) == 0:
+        return params  # cannot decimate: dense fallback (builder warns)
+    return params.with_multirate(True, depth="max")
 
 
 def cqt_kernel_matrices(params: CqtParams, sample_rate: float, frame_length: int):

@@ -441,6 +441,25 @@ class CqtParams:
       — per-octave work drops ~4× per extra level, making the multirate
       CQT a *speed* path, at the cost of half-band passband flatness
       (~2e-5/level) on bins that previously ran at the full rate.
+
+    ``truncate`` is the correctness-of-defaults policy for kernels longer
+    than the analysis frame (the reference silently clamps them,
+    ``cqt.rs:376-384``, which costs up to ~64 % value error on low bins
+    vs the untruncated ideal — ``benchmarks/cqt_multirate_ab.json``):
+
+    - ``None`` (default, *auto*): plans and :func:`cqt` switch to the
+      full-Q octave-stacked multirate path (``depth="max"``) whenever any
+      kernel would lose more than 1 % of its effective Q to truncation
+      (``TRUNCATION_Q_LOSS_THRESHOLD``) and the frame/hop alignment
+      admits decimation — correct by default, ~1.4× the dense cost.
+    - ``True``: keep the reference-parity dense truncated kernels (the
+      speed tier) without the truncation warning — an explicit,
+      documented accuracy trade.
+    - ``False``: require full Q — always use the multirate path when
+      truncation would occur, and keep the residual-truncation warning if
+      even the deepest aligned decimation cannot restore it.
+
+    An explicit ``multirate=True`` overrides ``truncate`` entirely.
     """
 
     bins_per_octave: int
@@ -452,6 +471,7 @@ class CqtParams:
     normalize: bool = True
     multirate: bool = False
     multirate_depth: str = "min"
+    truncate: Optional[bool] = None
 
     def __post_init__(self):
         object.__setattr__(
@@ -479,6 +499,8 @@ class CqtParams:
                 f"multirate_depth must be 'min' or 'max', got "
                 f"{self.multirate_depth!r}"
             )
+        if self.truncate is not None:
+            object.__setattr__(self, "truncate", bool(self.truncate))
 
     # fluent modifiers (parity with with_* methods)
     def with_q_factor(self, q_factor: float) -> "CqtParams":
@@ -500,6 +522,12 @@ class CqtParams:
             self,
             multirate=bool(multirate),
             multirate_depth=self.multirate_depth if depth is None else depth,
+        )
+
+    def with_truncate(self, truncate: Optional[bool]) -> "CqtParams":
+        """Set the long-kernel policy (see the class docstring)."""
+        return replace(
+            self, truncate=None if truncate is None else bool(truncate)
         )
 
     @property

@@ -403,6 +403,18 @@ class SpectrogramPlan:
                 raise InvalidInputError(
                     "CQT maximum frequency must be below Nyquist frequency"
                 )
+            # Correct-by-default policy (CqtParams.truncate, round-5): when
+            # truncation would cost >1 % effective Q and the frame/hop
+            # alignment admits decimation, the plan elects the full-Q
+            # octave-stacked path instead of inheriting the reference's
+            # silent clamp. truncate=True is the reference-parity dense
+            # speed tier (ops/cqt.py::resolve_cqt_policy).
+            from .ops.cqt import resolve_cqt_policy
+
+            scale_params = resolve_cqt_policy(
+                scale_params, sr, n_fft, hop, stft_p.centre
+            )
+            self.scale_params = scale_params
             k_re, k_im, freqs = cqt_kernel_matrices(scale_params, sr, n_fft)
             # Fused (n_fft, 2·n_out) kernel: one matmul reads the frame
             # matrix ONCE for both re and im (the frames read dominates HBM
@@ -465,6 +477,9 @@ class SpectrogramPlan:
                     (d, jnp.asarray(k_ri.astype(self._dtype)), e0, flen, jp)
                     for d, k_ri, e0, flen, jp in groups
                 ]
+                self._cqt_mr_composite = (
+                    scale_params.multirate_depth == "max"
+                )
         else:  # pragma: no cover
             raise InvalidInputError(f"unknown freq scale {freq_scale}")
 
@@ -779,7 +794,8 @@ class SpectrogramPlan:
 
                 nf = _fc(int(x.shape[-1]), self._n_fft, self._hop, self._centre)
                 blocks = multirate_ri_blocks(
-                    x, self._cqt_multirate, self._hop, nf, self.precision
+                    x, self._cqt_multirate, self._hop, nf, self.precision,
+                    composite=self._cqt_mr_composite,
                 )
                 mapped = jnp.concatenate(
                     [self._cqt_power(ri, ri.shape[-1] // 2) for ri in blocks],

@@ -133,11 +133,23 @@ class FeaturePipeline:
                     f"'{data_axis}' mesh axis ({mesh.shape[data_axis]})"
                 )
             self._sharding = NamedSharding(mesh, P(data_axis))
-            self._step = jax.jit(
-                jax.vmap(_row_forward),
-                in_shardings=self._sharding,
-                out_shardings=self._sharding,
-            )
+            # Cache the mesh-sharded step on the plan (like the non-mesh
+            # int16 path): a per-instance closure would be a distinct jit
+            # cache key per pipeline, and each distinct program is a
+            # 30-90 s remote compile on this rig.
+            cache = getattr(plan, "_mesh_step_cache", None)
+            if cache is None:
+                cache = plan._mesh_step_cache = {}
+            key = (self.transport, mesh, data_axis)
+            step = cache.get(key)
+            if step is None:
+                step = jax.jit(
+                    jax.vmap(_row_forward),
+                    in_shardings=self._sharding,
+                    out_shardings=self._sharding,
+                )
+                cache[key] = step
+            self._step = step
         elif self._i16:
             # Cache on the plan like _forward_batch: a per-instance closure
             # would be a distinct jit cache key per pipeline (each distinct
@@ -193,6 +205,21 @@ class FeaturePipeline:
         (`AudioBatchLoader.from_arrays`). ``sample_rates`` is a scalar or
         per-array sequence; omit it to bypass the rate check.
         """
+        if sample_rates is None and self.on_rate_mismatch == "error":
+            # The file path enforces the rate policy by default; arrays
+            # decoded at the wrong rate would produce silently wrong
+            # features, so an omitted sample_rates does not silently
+            # disable the check the pipeline was configured with.
+            import warnings
+
+            warnings.warn(
+                "run_arrays called without sample_rates on a pipeline whose "
+                f"rate policy is 'error' (expected {self.sample_rate_hz:g} "
+                "Hz) — the rate check is bypassed. Pass sample_rates=, or "
+                "construct the pipeline with on_rate_mismatch='ignore' to "
+                "acknowledge unchecked rates.",
+                stacklevel=2,
+            )
         loader = AudioBatchLoader.from_arrays(
             arrays,
             batch_size=self.batch_size,

@@ -31,7 +31,10 @@ def test_cqt_integrated_peak_and_no_double_windowing():
     """
     x = sine(440.0)
     params = sg.SpectrogramParams(sg.StftParams(4096, 1024), SR)
-    cqt_p = sg.CqtParams(12, 7, 32.7)
+    # truncate=True pins the dense single-rate tier: this test compares
+    # against a direct correlation of the *clamped* kernels (the auto
+    # policy would otherwise elect the full-Q multirate path).
+    cqt_p = sg.CqtParams(12, 7, 32.7, truncate=True)
     spec = sg.compute_cqt_power_spectrogram(x, params, cqt_p, dtype="float64")
     data = np.asarray(spec.data)
     k_peak = int(np.argmax(data.mean(axis=1)))
@@ -133,16 +136,32 @@ def test_gammatone_validation():
 
 
 def test_cqt_truncation_warns():
-    """Round-1 VERDICT weak #7: kernel clamping must not be silent."""
+    """Round-1 VERDICT weak #7: kernel clamping must not be silent.
+
+    Round-5: the auto policy (CqtParams.truncate=None) fixes truncation by
+    electing the multirate path when alignment permits, so the warning now
+    fires only where clamping actually survives — unalignable hops — and is
+    suppressed under an explicit truncate=True opt-in.
+    """
     import warnings
     from spectrograms_tpu.ops.cqt import _cqt_kernels_cached
 
+    # Odd hop: no decimation alignment, the dense clamp stands → warn.
     _cqt_kernels_cached.cache_clear()
     params = sg.CqtParams(12, 5, 32.703)  # C1 at 44.1k needs ~22k-sample kernels
     with pytest.warns(UserWarning, match="truncated"):
         sg.CqtPowerPlan(
-            sg.SpectrogramParams(sg.StftParams(2048, 512), 44100.0),
+            sg.SpectrogramParams(sg.StftParams(2048, 511), 44100.0),
             params,
+            dtype="float32",
+        )
+    # Explicit truncate=True: the reference-parity speed tier, no warning.
+    _cqt_kernels_cached.cache_clear()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sg.CqtPowerPlan(
+            sg.SpectrogramParams(sg.StftParams(2048, 511), 44100.0),
+            params.with_truncate(True),
             dtype="float32",
         )
     # Adequate frame length: no warning.
@@ -155,6 +174,41 @@ def test_cqt_truncation_warns():
             ok,
             dtype="float32",
         )
+
+
+def test_cqt_auto_policy_elects_multirate():
+    """truncate=None (default): a plan whose kernels lose >1% Q to the
+    clamp silently upgrades to the full-Q octave stack (depth='max');
+    truncate=True keeps the dense tier; sub-threshold losses stay dense."""
+    from spectrograms_tpu.ops.cqt import (
+        TRUNCATION_Q_LOSS_THRESHOLD,
+        resolve_cqt_policy,
+        truncation_q_loss,
+    )
+
+    material = sg.CqtParams(12, 5, 32.703)  # ~22k-sample kernels at 44.1k
+    assert truncation_q_loss(material, 44100.0, 2048) > TRUNCATION_Q_LOSS_THRESHOLD
+    r = resolve_cqt_policy(material, 44100.0, 2048, 512, True)
+    assert r.multirate and r.multirate_depth == "max"
+    # The integrated plan applies the same resolution.
+    plan = sg.CqtPowerPlan(
+        sg.SpectrogramParams(sg.StftParams(2048, 512), 44100.0),
+        material, dtype="float32",
+    )
+    assert plan.scale_params.multirate
+    # Explicit opt-outs.
+    assert not resolve_cqt_policy(
+        material.with_truncate(True), 44100.0, 2048, 512, True
+    ).multirate
+    assert not resolve_cqt_policy(material, 44100.0, 2048, 511, True).multirate
+    # Sub-threshold truncation stays dense under auto but flips with
+    # truncate=False (require full Q).
+    tiny = sg.CqtParams(12, 6, 16.35)  # 16440-sample kernel vs 16384 cap
+    assert 0 < truncation_q_loss(tiny, 16000.0, 16384) < TRUNCATION_Q_LOSS_THRESHOLD
+    assert not resolve_cqt_policy(tiny, 16000.0, 16384, 4096, False).multirate
+    assert resolve_cqt_policy(
+        tiny.with_truncate(False), 16000.0, 16384, 4096, False
+    ).multirate
 
 
 def test_gammatone_parallel_matches_scan():
@@ -257,7 +311,9 @@ class TestMultirateCqt:
         plan_mr = sg.CqtPowerPlan(params, self.P_MR, dtype="float64")
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            plan_tr = sg.CqtPowerPlan(params, self.P_SR, dtype="float64")
+            plan_tr = sg.CqtPowerPlan(
+                params, self.P_SR.with_truncate(True), dtype="float64"
+            )
         ref_params = sg.SpectrogramParams(sg.StftParams(1024, 64), self.SR)
         plan_ref = sg.CqtPowerPlan(ref_params, self.P_SR, dtype="float64")
 

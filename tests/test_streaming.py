@@ -18,7 +18,10 @@ PARAMS = sg.SpectrogramParams(sg.StftParams(256, 128), SR)
     [
         ("linear_power_plan", None),
         ("mel_db_plan", sg.MelParams(32, 0.0, 8000.0)),
-        ("cqt_power_plan", sg.CqtParams(12, 5, 55.0)),
+        # truncate=True: compute_frame streams single-rate kernels, so the
+        # dense tier is the one with exact compute()/compute_frame parity
+        # (the auto policy would elect multirate here).
+        ("cqt_power_plan", sg.CqtParams(12, 5, 55.0, truncate=True)),
     ],
 )
 def test_compute_frame_matches_full(plan_builder, scale_params):
