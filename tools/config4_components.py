@@ -36,7 +36,9 @@ def main():
     params = sg.SpectrogramParams(sg.StftParams(4096, 1024), float(SR))
     cqt = sg.CqtParams(12, 7, 32.703)
 
-    cqt_plan = sg.CqtPowerPlan(params, cqt, dtype="float32")
+    # truncate=True pins the dense reference-parity tier (the round-5
+    # auto policy otherwise elects multirate for this preset).
+    cqt_plan = sg.CqtPowerPlan(params, cqt.with_truncate(True), dtype="float32")
     cqt_max = sg.CqtPowerPlan(
         params, cqt.with_multirate(depth="max"), dtype="float32")
     chroma_plan = ChromaPlan(
