@@ -361,3 +361,6 @@ __all__ = [
 
 from .serving import FeaturePipeline, FeatureBatch  # noqa: E402
 __all__ += ["FeaturePipeline", "FeatureBatch"]
+
+from .featureset import FeatureSet  # noqa: E402
+__all__ += ["FeatureSet"]

@@ -2594,6 +2594,40 @@ class FeatureBatch:
         ...
 
 
+class FeatureSet:
+    """Compute several feature plans over the same batch in one program.
+
+    Parameters
+    ----------
+    members:
+        A sequence of plan objects (``SpectrogramPlan`` subclasses /
+        ``ChromaPlan`` / ``MfccPlan`` — anything with ``_forward_batch``)
+        and/or callables ``f(batch) -> array`` for custom fused stages
+        (e.g. an MDCT round-trip). All plan members must share one dtype.
+
+    ``compute_batch(batch)`` returns a tuple of results in member order;
+    ``compute(samples)`` maps a single 1-D signal through a singleton
+    batch. Each result is exactly what the member's own batched compute
+    would return (see the module docstring for the edge-sample contract
+    of deep shared cascade levels).
+    """
+    def __init__(self, members):
+        """Construct and validate; raises InvalidInputError on bad arguments."""
+        ...
+
+    def compute(self, samples):
+        """Run every member over one 1-D signal → tuple of results."""
+        ...
+
+    def compute_batch(self, batch):
+        """Run every member over (batch, samples) → tuple of results."""
+        ...
+
+    @property
+    def n_members(self):
+        ...
+
+
 def parse_dtype(dtype = None):
     """Parse a dtype spec ("float32"/"f32"/"float64"/"f64"/"bfloat16"/…).
 

@@ -243,12 +243,12 @@ class ChromaPlan:
                 stft_params.centre,
             )
 
-        def xla_forward(x):
-            nf = _n_frames(x)
-            if d:
-                x = _pre(x)
+        def xla_post(y, nf):
+            # Post-decimation pipeline on one (already padded+decimated
+            # when d) signal — split out so FeatureSet can feed a shared
+            # cascade level (_fs_forward_batch).
             frames = frame_signal(
-                x, stft_eff.n_fft, stft_eff.hop_size, stft_eff.centre
+                y, stft_eff.n_fft, stft_eff.hop_size, stft_eff.centre
             )
             mag_t = self._mag_plan._frames_to_bins(frames)  # (n_frames, n_bins)
             mag_t = mag_t[..., :nf, :]
@@ -256,6 +256,9 @@ class ChromaPlan:
             if d:
                 chroma_t = chroma_t * scale
             return apply_chroma_normalization(chroma_t, chroma_params.norm).T
+
+        def xla_forward(x):
+            return xla_post(_pre(x) if d else x, _n_frames(x))
 
         if use_pallas:
             # Fused kernel with the chroma filterbank folded in: the sqrt
@@ -286,6 +289,16 @@ class ChromaPlan:
                 **variant_kwargs,
             )
 
+            def pallas_post_batch(yb, nf):
+                cb = run(yb)
+                cb = cb[..., :nf]  # (B, 12, n_frames)
+                if d:
+                    cb = cb * scale
+                normed = apply_chroma_normalization(
+                    jnp.swapaxes(cb, 1, 2), chroma_params.norm
+                )
+                return jnp.swapaxes(normed, 1, 2)
+
             def forward(x):
                 nf = _n_frames(x)
                 ct = run(_pre(x) if d else x)
@@ -295,25 +308,56 @@ class ChromaPlan:
                 return apply_chroma_normalization(ct.T, chroma_params.norm).T
 
             def forward_batch(xb):
-                nf = _n_frames(xb)
-                cb = run(_pre(xb) if d else xb)
-                cb = cb[..., :nf]  # (B, 12, n_frames)
-                if d:
-                    cb = cb * scale
-                normed = apply_chroma_normalization(
-                    jnp.swapaxes(cb, 1, 2), chroma_params.norm
-                )
-                return jnp.swapaxes(normed, 1, 2)
+                return pallas_post_batch(_pre(xb) if d else xb, _n_frames(xb))
 
             from .ops.gradients import pallas_forward_xla_grad
 
+            self._pallas_post_batch = pallas_post_batch
             self._forward = pallas_forward_xla_grad(jax.jit(forward), xla_forward)
             self._forward_batch = pallas_forward_xla_grad(
                 jax.jit(forward_batch), jax.vmap(xla_forward)
             )
         else:
+            self._pallas_post_batch = None
             self._forward = jax.jit(xla_forward)
             self._forward_batch = jax.jit(jax.vmap(xla_forward))
+
+        # FeatureSet plumbing (shared decimation cascade; see featureset.py).
+        self._xla_post = xla_post
+        self._n_frames_fn = _n_frames
+        self._centre_pad = _centre_pad
+        self._decim_prec = _decim_prec
+
+    # ---- FeatureSet hooks (shared-cascade multi-feature steps) ----------
+    def _fs_cascade_spec(self):
+        """(composite, precision, pad, depths) or None — see pipeline.py."""
+        if not self._decimation:
+            return None
+        return (
+            True,
+            self._decim_prec,
+            self._centre_pad,
+            (self._decimation,),
+        )
+
+    def _fs_forward_batch(self, xb, cascade=None):
+        """Batched forward for FeatureSet, optionally on a shared cascade."""
+        if cascade is None or not self._decimation:
+            return self._forward_batch(xb)
+        d = self._decimation
+        n = int(xb.shape[-1])
+        nf = self._n_frames_fn(xb)
+        y = cascade.level_slice(
+            d, self._centre_pad, -(-(n + 2 * self._centre_pad) // (1 << d))
+        )
+        xla_batch = jax.vmap(lambda yy: self._xla_post(yy, nf))
+        if self._pallas_post_batch is not None:
+            from .ops.gradients import pallas_forward_xla_grad
+
+            return pallas_forward_xla_grad(
+                lambda yb: self._pallas_post_batch(yb, nf), xla_batch
+            )(y)
+        return xla_batch(y)
 
     def compute(self, samples) -> Chromagram:
         x = jnp.asarray(samples).astype(self._dtype)

@@ -30,7 +30,7 @@ _MAX_KERNEL_FRAME = 16384
 
 
 def multirate_ri_blocks(x, groups_dev, hop: int, nf: int, precision,
-                        composite: bool = False):
+                        composite: bool = False, level_provider=None):
     """Per-group [re | −im] correlations of the octave-stacked CQT.
 
     ``groups_dev``: list of ``(d, k_ri_device, e0, flen, jp)`` from
@@ -61,33 +61,38 @@ def multirate_ri_blocks(x, groups_dev, hop: int, nf: int, precision,
     ``composite=False``: every level is built by single half-band stages,
     bitwise the classic cascade regardless of which depths have groups.
 
-    Returns a list of (nf, 2·nb) arrays in group (= ascending bin) order.
+    ``level_provider`` (optional) replaces the internal lazy cascade: a
+    callable ``d -> level-d signal`` of the same shape/length the internal
+    cascade would produce (``ceil(n/2^d)`` trailing samples) — used by
+    :class:`spectrograms_tpu.FeatureSet` to share one
+    ``ops.decimate.DecimationCascade`` across plans.
+
+    Accepts leading batch dims: ``x`` may be (..., n); returns
+    (..., nf, 2·nb) arrays in group (= ascending bin) order.
     """
     from .ops.decimate import decimate_pow2_framed
     from .ops.framing import framed_matmul
 
-    levels = {0: x}
+    if level_provider is None:
+        levels = {0: x}
 
-    def get_level(d):
-        # Lazy cascade, banded framed matmuls (MXU-native — the 1-channel
-        # conv lowering starves the MXU; see ops/decimate.py).
-        if d not in levels:
-            if composite and d - 1 not in levels and d >= 2:
-                levels[d] = decimate_pow2_framed(
-                    get_level(d - 2), 2, precision=precision
-                )
-            else:
-                levels[d] = decimate_pow2_framed(
-                    get_level(d - 1), 1, precision=precision
-                )
-        return levels[d]
-
-    for d in sorted({g[0] for g in groups_dev}):
-        get_level(d)
+        def level_provider(d, _levels=levels):
+            # Lazy cascade, banded framed matmuls (MXU-native — the
+            # 1-channel conv lowering starves the MXU; see ops/decimate.py).
+            if d not in _levels:
+                if composite and d - 1 not in _levels and d >= 2:
+                    _levels[d] = decimate_pow2_framed(
+                        level_provider(d - 2), 2, precision=precision
+                    )
+                else:
+                    _levels[d] = decimate_pow2_framed(
+                        level_provider(d - 1), 1, precision=precision
+                    )
+            return _levels[d]
 
     outs = []
     for d, k_ri, e0, flen, jp in groups_dev:
-        y = levels[d]
+        y = level_provider(d)
         hop_d = hop >> d
         nf_sup = -(-nf // jp)  # super-frames needed to cover nf frames
         n_fft_sup = int(k_ri.shape[0])  # flen when jp == 1
@@ -95,15 +100,18 @@ def multirate_ri_blocks(x, groups_dev, hop: int, nf: int, precision,
         need = (nf_sup - 1) * hop_sup + n_fft_sup
         left = flen - e0  # shift so frame i ends at decimated i·hop_d + e0
         if left < 0:
-            y = y[-left:]
+            y = y[..., -left:]
             left = 0
         total = left + y.shape[-1]
-        w = jnp.pad(y, (left, max(0, need - total)))[:need]
+        widths = [(0, 0)] * (y.ndim - 1) + [(left, max(0, need - total))]
+        w = jnp.pad(y, widths)[..., :need]
         ri = framed_matmul(w, k_ri, n_fft_sup, hop_sup, centre=False,
-                           precision=precision)  # (nf_sup, jp·2nb)
+                           precision=precision)  # (..., nf_sup, jp·2nb)
         if jp > 1:
             nb2 = k_ri.shape[1] // jp
-            ri = ri.reshape(nf_sup * jp, nb2)[:nf]
+            ri = ri.reshape(ri.shape[:-2] + (nf_sup * jp, nb2))[..., :nf, :]
+        else:
+            ri = ri[..., :nf, :]
         outs.append(ri)
     return outs
 

@@ -31,6 +31,7 @@ __all__ = [
     "composite_taps",
     "decimate_pow2_framed",
     "band_limited_decimation_depth",
+    "DecimationCascade",
 ]
 
 # The half-band decimator is flat to ~2e-5 up to this fraction of the
@@ -206,3 +207,92 @@ def decimate_pow2_framed(x, d: int, precision=None, hop: int | None = None):
     )
     y = blocks[..., :nb, :].reshape(x.shape[:-1] + (nb * J,))
     return y[..., :n_out]
+
+
+class DecimationCascade:
+    """Lazy, shareable 2^d decimation levels of one zero-padded signal.
+
+    The multi-feature fast paths (multirate CQT, multirate chroma/mel/log-Hz)
+    each decimate the *same* signal; computing several of them in one program
+    duplicates the cascade — the single most expensive subgraph of a
+    multi-feature step (measured 0.56 ms of the 2.12 ms BASELINE config-4
+    step on v5e). A ``DecimationCascade`` computes each level once and hands
+    every consumer the exact slice it would have produced itself.
+
+    Levels are built over ``z = pad(x, (pad, pad))`` with the banded framed
+    decimator (:func:`decimate_pow2_framed`), which already treats
+    out-of-range samples as zeros. Because the pad IS zeros, a slice of a
+    deeper-padded level equals the decimation of a shallower-padded signal
+    **bit-exactly** for any single stage: both evaluate the same FIR sum
+    over the same zero-extended samples. Chained stages (level ≥ 4 built
+    from level 2) see the padded intermediate's real filter tails where a
+    standalone cascade would have truncated them to zero — the shared
+    levels are *closer* to the ideal infinite-extension cascade, differing
+    from the standalone one only within a composite-filter length of the
+    signal edges (the already-documented cascade edge class).
+
+    ``composite=True`` (default) chains stride-4 composite stages for even
+    levels (matching the ``depth="max"`` multirate-CQT cascade and the
+    single-stage d≤2 chroma/mel decimators); odd levels take one final
+    half-band from level d−1. ``composite=False`` builds every level by
+    single half-band stages (the ``depth="min"`` classic cascade) — exact
+    sharing then requires ``pad == 0``.
+    """
+
+    def __init__(self, x, pad: int = 0, precision=None,
+                 composite: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        self.n = int(x.shape[-1])
+        self.pad = int(pad)
+        self.precision = (
+            jax.lax.Precision.HIGH if precision is None else precision
+        )
+        self.composite = bool(composite)
+        if self.pad:
+            widths = [(0, 0)] * (x.ndim - 1) + [(self.pad, self.pad)]
+            x = jnp.pad(x, widths)
+        self._levels = {0: x}
+
+    def level(self, d: int):
+        """Level-d decimation of the padded signal (full padded extent)."""
+        if d not in self._levels:
+            if self.composite and d >= 2 and (d - 1) not in self._levels:
+                self._levels[d] = decimate_pow2_framed(
+                    self.level(d - 2), 2, precision=self.precision
+                )
+            else:
+                self._levels[d] = decimate_pow2_framed(
+                    self.level(d - 1), 1, precision=self.precision
+                )
+        return self._levels[d]
+
+    def level_slice(self, d: int, keep_pad: int = 0,
+                    length: int | None = None):
+        """Level d with exactly ``keep_pad`` full-rate pad samples retained.
+
+        Returns what ``decimate_pow2_framed(pad(x, keep_pad), ·)`` would
+        have produced (see class docstring for the exactness contract),
+        truncated/extended on the right to ``length`` decimated samples
+        (default: the standalone output length ceil((n + 2·keep_pad)/2^d)).
+        ``keep_pad`` must be a multiple of 2^d and ≤ the cascade pad.
+        """
+        import jax.numpy as jnp
+
+        D = 1 << d
+        if keep_pad > self.pad or keep_pad % D or (self.pad - keep_pad) % D:
+            raise ValueError(
+                f"keep_pad={keep_pad} incompatible with cascade pad="
+                f"{self.pad} at level {d} (need keep_pad ≤ pad, both "
+                f"≡ 0 mod 2^{d})"
+            )
+        y = self.level(d)
+        lo = (self.pad - keep_pad) // D
+        if length is None:
+            length = -(-(self.n + 2 * keep_pad) // D)
+        y = y[..., lo:]
+        if y.shape[-1] < length:
+            widths = [(0, 0)] * (y.ndim - 1) + [(0, length - y.shape[-1])]
+            y = jnp.pad(y, widths)
+        return y[..., :length]

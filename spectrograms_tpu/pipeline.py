@@ -682,6 +682,9 @@ class SpectrogramPlan:
 
                 self._multirate_inner = (dmr, inner)
                 self._mr_pre = _mr_pre
+                self._mr_pad = pad_amt
+                self._mr_gain = gain
+                self._mr_decim_prec = decim_prec
                 self._forward = jax.jit(_mr_fwd)
                 self._forward_batch = jax.jit(_mr_fwd_batch)
 
@@ -778,6 +781,70 @@ class SpectrogramPlan:
         re, im = ri[..., :n_out], ri[..., n_out:]
         return re * re + im * im
 
+    def _cqt_mr_forward(self, x, level_provider=None):
+        """Octave-stacked CQT forward (leading batch dims OK).
+
+        ``level_provider`` lets :class:`spectrograms_tpu.FeatureSet` hand in
+        a shared ``DecimationCascade`` (one cascade per multi-feature step
+        instead of one per plan).
+        """
+        from .cqt import multirate_ri_blocks
+        from .ops.framing import frame_count as _fc
+
+        nf = _fc(int(x.shape[-1]), self._n_fft, self._hop, self._centre)
+        blocks = multirate_ri_blocks(
+            x, self._cqt_multirate, self._hop, nf, self.precision,
+            composite=self._cqt_mr_composite,
+            level_provider=level_provider,
+        )
+        mapped = jnp.concatenate(
+            [self._cqt_power(ri, ri.shape[-1] // 2) for ri in blocks],
+            axis=-1,
+        )
+        amped = _apply_amp(mapped, self.amp_scale, self._floor_db, self._dtype)
+        return jnp.swapaxes(amped, -1, -2)
+
+    # ---- FeatureSet hooks (shared-cascade multi-feature steps) ----------
+    def _fs_cascade_spec(self):
+        """Decimation front-end signature for cascade sharing, or None.
+
+        Returns ``(composite, precision, pad, depths)`` — members of a
+        :class:`spectrograms_tpu.FeatureSet` whose (composite, precision)
+        match share one ``DecimationCascade`` built with the max pad.
+        """
+        if getattr(self, "_cqt_multirate", None) is not None:
+            depths = tuple(sorted({g[0] for g in self._cqt_multirate if g[0]}))
+            if not depths:
+                return None
+            return (bool(self._cqt_mr_composite), self.precision, 0, depths)
+        if self._multirate_inner is not None:
+            return (
+                True,
+                self._mr_decim_prec,
+                self._mr_pad,
+                (self._multirate_inner[0],),
+            )
+        return None
+
+    def _fs_forward_batch(self, xb, cascade=None):
+        """Batched forward for FeatureSet, optionally on a shared cascade."""
+        if cascade is None or self._fs_cascade_spec() is None:
+            return self._forward_batch(xb)
+        n = int(xb.shape[-1])
+        if getattr(self, "_cqt_multirate", None) is not None:
+            return self._cqt_mr_forward(
+                xb,
+                level_provider=lambda d: cascade.level_slice(
+                    d, 0, -(-n // (1 << d))
+                ),
+            )
+        d, inner = self._multirate_inner
+        nf = frame_count(n, self._n_fft, self._hop, self._centre)
+        y = cascade.level_slice(
+            d, self._mr_pad, -(-(n + 2 * self._mr_pad) // (1 << d))
+        )
+        return inner._forward_batch(y * self._mr_gain)[..., :nf]
+
     def _forward_impl(self, x):
         dt = self._dtype
         if self._multirate_inner is not None:
@@ -789,19 +856,7 @@ class SpectrogramPlan:
             return inner._forward_impl(self._mr_pre(x))[..., :nf]
         if self.freq_scale == FreqScale.CQT:
             if self._cqt_multirate is not None:
-                from .cqt import multirate_ri_blocks
-                from .ops.framing import frame_count as _fc
-
-                nf = _fc(int(x.shape[-1]), self._n_fft, self._hop, self._centre)
-                blocks = multirate_ri_blocks(
-                    x, self._cqt_multirate, self._hop, nf, self.precision,
-                    composite=self._cqt_mr_composite,
-                )
-                mapped = jnp.concatenate(
-                    [self._cqt_power(ri, ri.shape[-1] // 2) for ri in blocks],
-                    axis=-1,
-                )
-                return _apply_amp(mapped, self.amp_scale, self._floor_db, dt).T
+                return self._cqt_mr_forward(x)
             # Hopped-slice decomposition (ops/framing.framed_matmul): the
             # (n_frames, n_fft) frame matrix — the dominant HBM traffic of
             # the dense CQT matmul at batch scale — is never materialized.

@@ -93,7 +93,30 @@ def main():
         v = sorted(vals)
         out[name] = round(v[len(v) // 2], 4)
         print(f"{name:34s}: {out[name]:.4f} ms")
-    print(json.dumps(out))
+
+    # Accuracy: TDAC perfect reconstruction holds in the interior
+    # (one window_size in from each edge); measure max abs error there
+    # per (method, precision) against the f32 input itself.
+    x1 = xb[:4]
+    acc = {}
+    for name, method, precision in [
+        ("acc dense HIGH", "matmul", None),
+        ("acc folded HIGH", "folded", None),
+        ("acc dense DEFAULT(bf16)", "matmul", "default"),
+        ("acc folded DEFAULT(bf16)", "folded", "default"),
+    ]:
+        y = jax.vmap(lambda s: sg.imdct(
+            sg.mdct(s, p, dtype="float32", method=method,
+                    precision=precision),
+            p, original_length=n, method=method, precision=precision))(x1)
+        # MDCT frames cover (n_frames-1)*hop + 2N samples; compare on the
+        # TDAC-perfect interior of the covered span.
+        m = min(y.shape[-1], x1.shape[-1])
+        err = jnp.max(jnp.abs(y[:, 512:m - 512] - x1[:, 512:m - 512]))
+        rms = jnp.sqrt(jnp.mean(jnp.square(x1[:, 512:m - 512])))
+        acc[name] = float(err / rms)
+        print(f"{name:34s}: max|err|/rms = {acc[name]:.3e}", flush=True)
+    print(json.dumps({"timings_ms": out, "roundtrip_rel_err": acc}))
 
 
 if __name__ == "__main__":
