@@ -198,7 +198,19 @@ def config4_cqt_chroma_mdct(batch: int = 64):
         c = sg.mdct(sig, mdct_params, dtype="float32")
         return sg.imdct(c, mdct_params, original_length=sig.shape[0])
 
+    def mdct_rt(b):
+        return jax.vmap(mdct_one)(b)
+
+    # Round-5 default: the FeatureSet composed plan — CQT and chroma share
+    # ONE decimation cascade (the step's most expensive subgraph) instead
+    # of each building their own.
+    fs = sg.FeatureSet([cqt_plan, chroma_plan, mdct_rt])
+
     def step(xb):
+        a, b, back = fs._step_impl(xb)
+        return jnp.sum(a) + jnp.sum(b) + jnp.sum(back)
+
+    def step_separate(xb):
         a = jax.vmap(cqt_plan._forward_impl)(xb)
         b = chroma_fwd(xb)
         back = jax.vmap(mdct_one)(xb)
@@ -212,16 +224,20 @@ def config4_cqt_chroma_mdct(batch: int = 64):
 
     xd = jax.device_put(jnp.asarray(xb))
     dt = _slope_time(_chain(step), xd, k2=17)
+    dt_sep = _slope_time(_chain(step_separate), xd, k2=17)
     dt_dense = _slope_time(_chain(step_dense), xd, k2=17)
     return {
         "config": f"4: CQT-84 + chroma + MDCT roundtrip batch {batch}x5s@44.1kHz f32",
         "value": round(dt * 1e3, 4),
         "unit": "ms/batch",
         "audio_s_per_s": round(batch * 5.0 / dt, 1),
-        "note": "value = default path (full-Q multirate CQT per the round-5 "
-                "truncate policy); truncate_true is the reference-parity "
-                "dense clamp (64% low-bin error), the r1-r4 workload of "
-                "this row",
+        "note": "value = FeatureSet composed plan (full-Q multirate CQT per "
+                "the truncate policy + chroma sharing one decimation "
+                "cascade + MDCT member); separate_ms runs the same three "
+                "features as independent subgraphs; truncate_true is the "
+                "reference-parity dense clamp (64% low-bin error), the "
+                "r1-r4 workload of this row",
+        "separate_ms": round(dt_sep * 1e3, 4),
         "truncate_true_ms": round(dt_dense * 1e3, 4),
         "truncate_true_audio_s_per_s": round(batch * 5.0 / dt_dense, 1),
     }
