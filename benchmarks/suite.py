@@ -477,6 +477,16 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
     rates_f32 = sorted(
         pipe_f32.throughput_report(paths)["audio_s_per_s"] for _ in range(reps)
     )
+    # Opt-in lossy tier: μ-law bytes (quarter the f32 bytes, ~38 dB SQNR;
+    # accuracy attribution in tests/test_serving.py::TestUlawTransport and
+    # docs/serving.md).
+    pipe_u8 = FeaturePipeline(
+        plan, batch_size=32, target_seconds=10.0, transport="ulaw"
+    )
+    pipe_u8.throughput_report(paths[:32])
+    rates_u8 = sorted(
+        pipe_u8.throughput_report(paths)["audio_s_per_s"] for _ in range(reps)
+    )
 
     # Component rates, so the end-to-end wall is attributable: on this rig
     # the device sits behind a network tunnel whose per-program dispatch
@@ -519,6 +529,12 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
     jax.block_until_ready(jnp.asarray(x16))
     upload_rate_i16 = 320.0 / (_time.perf_counter() - t0)
 
+    xu8 = np.zeros((32, sr * 10), dtype=np.uint8)
+    jax.block_until_ready(jnp.asarray(xu8))
+    t0 = _time.perf_counter()
+    jax.block_until_ready(jnp.asarray(xu8))
+    upload_rate_u8 = 320.0 / (_time.perf_counter() - t0)
+
     fd = pipe_f32._step(xb)
     jax.block_until_ready(fd)
     t0 = _time.perf_counter()
@@ -535,16 +551,25 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
             "value": rates_f32[len(rates_f32) // 2],
             "range": [rates_f32[0], rates_f32[-1]],
         },
+        "ulaw_transport": {
+            "value": rates_u8[len(rates_u8) // 2],
+            "range": [rates_u8[0], rates_u8[-1]],
+            "note": "opt-in lossy tier (~38 dB SQNR; mel-dB error <=0.8 dB "
+                    "within 40 dB of peak, unbounded below — docs/serving.md)",
+        },
         "components_audio_s_per_s": {
             "loader(4t)_f32": round(loader_rate, 1),
             "loader(4t)_i16": round(loader_rate_i16, 1),
+            "loader(4t)_ulaw": round(_loader_rate("ulaw"), 1),
             "host_to_device_f32": round(upload_rate, 1),
             "host_to_device_i16": round(upload_rate_i16, 1),
+            "host_to_device_u8": round(upload_rate_u8, 1),
             "one_program_roundtrip": round(dispatch_rate, 1),
         },
-        "note": "end-to-end = min of the components; shared 4-core host + "
-                f"tunnel-attached device, range over {reps} full passes; "
-                "int16 transport bit-exact vs f32 for PCM16 sources",
+        "note": "end-to-end target >= 90% of min(components) via pipelined "
+                "uploads (hold=2); shared 4-core host + tunnel-attached "
+                f"device, range over {reps} full passes; int16 transport "
+                "bit-exact vs f32 for PCM16 sources",
     }
 
 

@@ -465,6 +465,83 @@ SG_API int64_t sg_wav_decode_into_i16(const char* path, int16_t* dst,
 }
 
 // ---------------------------------------------------------------------------
+// G.711 μ-law companding (8-bit serving transport)
+// ---------------------------------------------------------------------------
+//
+// Byte convention: the UNCOMPLEMENTED μ-law code (G.711 inverts all bits for
+// line transmission; here silence must encode to 0x00 so zero-padded rows
+// decode to exactly 0). Reference implementation + tests:
+// spectrograms_tpu/runtime/ulaw.py.
+
+namespace {
+
+const uint8_t* mulaw_lut() {
+  // 65536-entry LUT, built once: int16 bit pattern -> uncomplemented code.
+  static const std::vector<uint8_t> lut = [] {
+    std::vector<uint8_t> t(65536);
+    for (int i = 0; i < 65536; ++i) {
+      const int16_t s = static_cast<int16_t>(static_cast<uint16_t>(i));
+      const int sign = s < 0 ? 0x80 : 0;
+      int v = s < 0 ? -static_cast<int>(s) : static_cast<int>(s);
+      if (v > 32635) v = 32635;
+      v += 0x84;
+      int exp = 7;
+      for (int mask = 0x4000; (v & mask) == 0 && exp > 0; mask >>= 1) exp--;
+      const int mant = (v >> (exp + 3)) & 0xF;
+      t[static_cast<size_t>(i)] = static_cast<uint8_t>(sign | (exp << 4) | mant);
+    }
+    return t;
+  }();
+  return lut.data();
+}
+
+}  // namespace
+
+namespace {
+
+// Caller-provided int16 staging keeps the loader workers' hot path
+// allocation-free WITHOUT a thread_local (whose non-trivial destructor
+// trips TSan's known _dl_deallocate_tls false positive at thread exit).
+int64_t decode_into_ulaw_with(const char* path, uint8_t* dst, int64_t cap,
+                              int32_t* sample_rate,
+                              std::vector<int16_t>& tmp16) {
+  if (cap < 0) {
+    set_error("cap must be >= 0");
+    return -1;
+  }
+  if (tmp16.size() < static_cast<size_t>(cap)) {
+    tmp16.resize(static_cast<size_t>(cap));
+  }
+  const int64_t len = sg_wav_decode_into_i16(path, tmp16.data(), cap,
+                                             sample_rate);
+  if (len < 0) return -1;
+  const uint8_t* lut = mulaw_lut();
+  for (int64_t i = 0; i < len; ++i) {
+    dst[i] = lut[static_cast<uint16_t>(tmp16[static_cast<size_t>(i)])];
+  }
+  if (len < cap) {
+    memset(dst + len, 0, static_cast<size_t>(cap - len));
+  }
+  return len;
+}
+
+}  // namespace
+
+// μ-law variant of sg_wav_decode_into for the 8-bit device-transport path:
+// decodes to int16, companded through the LUT — one byte per sample over
+// the host→device link. The zeroed tail encodes to 0x00 (= silence in the
+// uncomplemented convention). Allocates a staging buffer per call; the
+// loader workers use the scratch-passing internal variant instead.
+SG_API int64_t sg_wav_decode_into_ulaw(const char* path, uint8_t* dst,
+                                       int64_t cap, int32_t* sample_rate) try {
+  std::vector<int16_t> tmp16;
+  return decode_into_ulaw_with(path, dst, cap, sample_rate, tmp16);
+} catch (const std::exception& e) {
+  set_error(std::string("wav decode_into_ulaw failed: ") + e.what());
+  return -1;
+}
+
+// ---------------------------------------------------------------------------
 // Streaming ring-buffer framer
 // ---------------------------------------------------------------------------
 //
@@ -601,6 +678,7 @@ namespace {
 struct LoaderSlot {
   std::vector<float> data;       // batch * target_len (row tails zeroed by writers)
   std::vector<int16_t> data16;   // int16 transport mode uses this instead
+  std::vector<uint8_t> data8;    // μ-law transport mode uses this instead
   std::vector<int64_t> lengths;  // batch (0 marks a padding/failed row)
   std::vector<int32_t> srs;      // batch (0 for padding rows)
   std::vector<int64_t> path_idx; // batch (-1 for padding rows)
@@ -617,7 +695,9 @@ struct Loader {
   int64_t target_len;
   int64_t n_batches;
   size_t prefetch;
-  bool emit_i16 = false;  // rows are int16 PCM (device dequantizes by 1/32768)
+  // 0 = float32 rows, 1 = int16 PCM (device dequantizes by 1/32768),
+  // 2 = uncomplemented μ-law bytes (device expands, see runtime/ulaw.py).
+  int emit_mode = 0;
   std::atomic<size_t> next_path{0};
 
   std::mutex mu;
@@ -651,9 +731,13 @@ void init_slot_locked(Loader* L, LoaderSlot& s, int64_t bi) {
   const int64_t items =
       std::min<int64_t>(L->batch, static_cast<int64_t>(L->paths.size()) - first);
   s.remaining = items;
-  if (L->emit_i16) {
+  if (L->emit_mode == 1) {
     if (s.data16.empty()) {
       s.data16.resize(static_cast<size_t>(L->batch * L->target_len));
+    }
+  } else if (L->emit_mode == 2) {
+    if (s.data8.empty()) {
+      s.data8.resize(static_cast<size_t>(L->batch * L->target_len));
     }
   } else if (s.data.empty()) {
     s.data.resize(static_cast<size_t>(L->batch * L->target_len));
@@ -664,9 +748,12 @@ void init_slot_locked(Loader* L, LoaderSlot& s, int64_t bi) {
   if (items < L->batch) {
     const size_t pad_rows =
         static_cast<size_t>((L->batch - items) * L->target_len);
-    if (L->emit_i16) {
+    if (L->emit_mode == 1) {
       memset(s.data16.data() + items * L->target_len, 0,
              pad_rows * sizeof(int16_t));
+    } else if (L->emit_mode == 2) {
+      // μ-law code of silence is 0x00 in the uncomplemented convention.
+      memset(s.data8.data() + items * L->target_len, 0, pad_rows);
     } else {
       memset(s.data.data() + items * L->target_len, 0,
              pad_rows * sizeof(float));
@@ -675,6 +762,7 @@ void init_slot_locked(Loader* L, LoaderSlot& s, int64_t bi) {
 }
 
 void loader_worker(Loader* L) try {
+  std::vector<int16_t> ulaw_scratch;  // per-worker staging (mode 2 only)
   for (;;) {
     const size_t idx = L->next_path.fetch_add(1);
     if (idx >= L->paths.size()) break;
@@ -707,12 +795,19 @@ void loader_worker(Loader* L) try {
     // downmix buffer, and row memcpy of the previous design are all gone.
     int32_t sr = 0;
     int64_t len;
-    if (L->emit_i16) {
+    if (L->emit_mode == 1) {
       int16_t* dst = slot->data16.data() + row * L->target_len;
       len = sg_wav_decode_into_i16(L->paths[idx].c_str(), dst,
                                    L->target_len, &sr);
       if (len < 0) {
         memset(dst, 0, static_cast<size_t>(L->target_len) * sizeof(int16_t));
+      }
+    } else if (L->emit_mode == 2) {
+      uint8_t* dst = slot->data8.data() + row * L->target_len;
+      len = decode_into_ulaw_with(L->paths[idx].c_str(), dst,
+                                  L->target_len, &sr, ulaw_scratch);
+      if (len < 0) {
+        memset(dst, 0, static_cast<size_t>(L->target_len));
       }
     } else {
       float* dst = slot->data.data() + row * L->target_len;
@@ -753,11 +848,11 @@ void loader_worker(Loader* L) try {
 
 }  // namespace
 
-// emit_i16 != 0 switches the slot rows to int16 PCM transport (see
-// sg_wav_decode_into_i16); consume via the *_i16 entry points.
+// emit_mode: 0 = float32 rows, 1 = int16 PCM transport (consume via the
+// *_i16 entry points), 2 = uncomplemented μ-law bytes (*_u8 entry points).
 SG_API void* sg_loader_new2(const char** paths, int64_t n_paths, int64_t batch,
                             int64_t target_len, int32_t n_threads,
-                            int32_t prefetch_batches, int32_t emit_i16) {
+                            int32_t prefetch_batches, int32_t emit_mode) {
   if (n_paths <= 0 || batch <= 0 || target_len <= 0) {
     set_error("n_paths, batch and target_len must be positive");
     return nullptr;
@@ -771,7 +866,12 @@ SG_API void* sg_loader_new2(const char** paths, int64_t n_paths, int64_t batch,
   L->target_len = target_len;
   L->n_batches = (n_paths + batch - 1) / batch;
   L->prefetch = static_cast<size_t>(prefetch_batches > 0 ? prefetch_batches : 4);
-  L->emit_i16 = emit_i16 != 0;
+  if (emit_mode < 0 || emit_mode > 2) {
+    set_error("emit_mode must be 0 (f32), 1 (int16) or 2 (ulaw)");
+    delete L;
+    return nullptr;
+  }
+  L->emit_mode = emit_mode;
   L->ring.resize(L->prefetch);
   const int32_t nt = n_threads > 0 ? n_threads : 4;
   for (int32_t i = 0; i < nt; ++i) L->workers.emplace_back(loader_worker, L);
@@ -871,8 +971,8 @@ void copy_slot_meta(const LoaderSlot& s, int64_t* out_lengths,
 SG_API int64_t sg_loader_next(void* h, float* out_data, int64_t* out_lengths,
                               int32_t* out_srs, int64_t* out_path_idx) try {
   Loader* L = static_cast<Loader*>(h);
-  if (L->emit_i16) {
-    set_error("loader emits int16 rows; use sg_loader_next_i16");
+  if (L->emit_mode != 0) {
+    set_error("loader emits quantized rows; use sg_loader_next_i16/_u8");
     return -1;
   }
   LoaderSlot* s = nullptr;
@@ -892,8 +992,8 @@ SG_API int64_t sg_loader_next_i16(void* h, int16_t* out_data,
                                   int64_t* out_lengths, int32_t* out_srs,
                                   int64_t* out_path_idx) try {
   Loader* L = static_cast<Loader*>(h);
-  if (!L->emit_i16) {
-    set_error("loader emits float rows; use sg_loader_next");
+  if (L->emit_mode != 1) {
+    set_error("loader does not emit int16 rows; use the matching entry point");
     return -1;
   }
   LoaderSlot* s = nullptr;
@@ -919,8 +1019,8 @@ SG_API int64_t sg_loader_acquire(void* h, int64_t* out_token, float** out_data,
                                  int64_t** out_lengths, int32_t** out_srs,
                                  int64_t** out_path_idx) try {
   Loader* L = static_cast<Loader*>(h);
-  if (L->emit_i16) {
-    set_error("loader emits int16 rows; use sg_loader_acquire_i16");
+  if (L->emit_mode != 0) {
+    set_error("loader emits quantized rows; use sg_loader_acquire_i16/_u8");
     return -1;
   }
   LoaderSlot* s = nullptr;
@@ -938,14 +1038,14 @@ SG_API int64_t sg_loader_acquire(void* h, int64_t* out_token, float** out_data,
 }
 
 // int16 twin of sg_loader_acquire (loader must be created with
-// sg_loader_new2(..., emit_i16=1)).
+// sg_loader_new2(..., emit_mode=1)).
 SG_API int64_t sg_loader_acquire_i16(void* h, int64_t* out_token,
                                      int16_t** out_data,
                                      int64_t** out_lengths, int32_t** out_srs,
                                      int64_t** out_path_idx) try {
   Loader* L = static_cast<Loader*>(h);
-  if (!L->emit_i16) {
-    set_error("loader emits float rows; use sg_loader_acquire");
+  if (L->emit_mode != 1) {
+    set_error("loader does not emit int16 rows; use the matching entry point");
     return -1;
   }
   LoaderSlot* s = nullptr;
@@ -959,6 +1059,51 @@ SG_API int64_t sg_loader_acquire_i16(void* h, int64_t* out_token,
   return n;
 } catch (const std::exception& e) {
   set_error(std::string("loader acquire_i16 failed: ") + e.what());
+  return -1;
+}
+
+SG_API int64_t sg_loader_next_u8(void* h, uint8_t* out_data,
+                                 int64_t* out_lengths, int32_t* out_srs,
+                                 int64_t* out_path_idx) try {
+  Loader* L = static_cast<Loader*>(h);
+  if (L->emit_mode != 2) {
+    set_error("loader does not emit ulaw rows; use the matching entry point");
+    return -1;
+  }
+  LoaderSlot* s = nullptr;
+  const int64_t n = loader_claim(L, &s);
+  if (n <= 0) return n;
+  memcpy(out_data, s->data8.data(), s->data8.size());
+  copy_slot_meta(*s, out_lengths, out_srs, out_path_idx);
+  loader_unbusy(L, s);
+  return n;
+} catch (const std::exception& e) {
+  set_error(std::string("loader next_u8 failed: ") + e.what());
+  return -1;
+}
+
+// μ-law twin of sg_loader_acquire (loader must be created with
+// sg_loader_new2(..., emit_mode=2)).
+SG_API int64_t sg_loader_acquire_u8(void* h, int64_t* out_token,
+                                    uint8_t** out_data,
+                                    int64_t** out_lengths, int32_t** out_srs,
+                                    int64_t** out_path_idx) try {
+  Loader* L = static_cast<Loader*>(h);
+  if (L->emit_mode != 2) {
+    set_error("loader does not emit ulaw rows; use the matching entry point");
+    return -1;
+  }
+  LoaderSlot* s = nullptr;
+  const int64_t n = loader_claim(L, &s);  // slot stays busy until release
+  if (n <= 0) return n;
+  *out_token = s->batch_id % static_cast<int64_t>(L->prefetch);
+  *out_data = s->data8.data();
+  *out_lengths = s->lengths.data();
+  if (out_srs != nullptr) *out_srs = s->srs.data();
+  if (out_path_idx != nullptr) *out_path_idx = s->path_idx.data();
+  return n;
+} catch (const std::exception& e) {
+  set_error(std::string("loader acquire_u8 failed: ") + e.what());
   return -1;
 }
 

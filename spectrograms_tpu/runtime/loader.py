@@ -71,12 +71,14 @@ class AudioBatchLoader:
             raise InvalidInputError(
                 f"on_rate_mismatch must be one of {_RATE_POLICIES}, got {on_rate_mismatch!r}"
             )
-        if dtype not in ("float32", "int16"):
+        if dtype not in ("float32", "int16", "ulaw"):
             raise InvalidInputError(
-                f"loader dtype must be 'float32' or 'int16', got {dtype!r}"
+                f"loader dtype must be 'float32', 'int16' or 'ulaw', "
+                f"got {dtype!r}"
             )
         self.dtype = dtype
         self._i16 = dtype == "int16"
+        self._u8 = dtype == "ulaw"
         self.paths: List[str] = [str(p) for p in paths]
         if not self.paths:
             raise InvalidInputError("paths must be non-empty")
@@ -128,9 +130,10 @@ class AudioBatchLoader:
                 f"on_rate_mismatch must be one of {_RATE_POLICIES}, "
                 f"got {on_rate_mismatch!r}"
             )
-        if dtype not in ("float32", "int16"):
+        if dtype not in ("float32", "int16", "ulaw"):
             raise InvalidInputError(
-                f"loader dtype must be 'float32' or 'int16', got {dtype!r}"
+                f"loader dtype must be 'float32', 'int16' or 'ulaw', "
+                f"got {dtype!r}"
             )
         mem = [np.asarray(a).ravel() for a in arrays]
         if not mem:
@@ -152,6 +155,7 @@ class AudioBatchLoader:
         self = cls.__new__(cls)
         self.dtype = dtype
         self._i16 = dtype == "int16"
+        self._u8 = dtype == "ulaw"
         self.paths = []
         self.batch_size = int(batch_size)
         self.target_len = int(target_len)
@@ -191,27 +195,53 @@ class AudioBatchLoader:
             yield data, lengths, srs
 
     def iter_borrowed(
-        self,
+        self, hold: int = 1
     ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Zero-copy iteration: yields views into the loader's ring slots.
 
         The ``data`` array of each yielded batch is a *borrowed* view of
-        native memory — valid only until the next iteration step (the slot
-        is recycled once the generator resumes). Consume or upload it before
-        advancing; keep :meth:`iter_with_rates` for arrays that must outlive
-        the loop. ``lengths``/``sample_rates`` are owned copies (they are
-        tiny). Falls back to the owned-array iteration without the native
-        library. This is the :class:`~spectrograms_tpu.serving.FeaturePipeline`
-        hot path: decode writes each row in place (``sg_wav_decode_into``)
-        and the only remaining host copy is the device upload itself.
+        native memory — valid only while the slot is held: the oldest slot
+        is recycled once the generator resumes with ``hold`` newer batches
+        outstanding (``hold=1``, the default, recycles each slot on the
+        next resume). ``hold=2`` keeps the previous batch's buffer alive
+        through one extra iteration so an async device upload of batch k−1
+        may still be in flight while batch k is acquired — the
+        :class:`~spectrograms_tpu.serving.FeaturePipeline` pipelined-upload
+        contract. ``hold`` must stay below ``prefetch_batches`` or the ring
+        deadlocks (validated here). The hold window is a single-consumer
+        contract: this generator claims consecutive batches, so its held
+        slots always trail the claim by < ``hold`` ring positions; raw
+        C-API consumers running *concurrently* must keep hold at 1 (a
+        consumer holding batch b while claiming b+prefetch would wait on
+        its own held slot — the lapped-consumer deadlock).
+
+        Consume or upload each batch within the hold window; keep
+        :meth:`iter_with_rates` for arrays that must outlive the loop.
+        ``lengths``/``sample_rates`` are owned copies (they are tiny).
+        Falls back to the owned-array iteration without the native library.
+        This is the serving hot path: decode writes each row in place
+        (``sg_wav_decode_into``) and the only remaining host copy is the
+        device upload itself.
         """
         if self._lib is None:
             yield from self.iter_with_rates()
             return
+        if hold < 1:
+            raise InvalidInputError(f"hold must be >= 1, got {hold}")
+        if hold >= max(1, self._prefetch):
+            raise InvalidInputError(
+                f"hold={hold} must be < prefetch_batches={self._prefetch}: "
+                "holding every ring slot would deadlock the decode workers"
+            )
         lib = self._lib
-        acquire = lib.sg_loader_acquire_i16 if self._i16 else lib.sg_loader_acquire
-        sample_ctype = ctypes.c_int16 if self._i16 else ctypes.c_float
+        if self._u8:
+            acquire, sample_ctype = lib.sg_loader_acquire_u8, ctypes.c_uint8
+        elif self._i16:
+            acquire, sample_ctype = lib.sg_loader_acquire_i16, ctypes.c_int16
+        else:
+            acquire, sample_ctype = lib.sg_loader_acquire, ctypes.c_float
         h = self._new_native_handle()
+        held: list = []
         try:
             while True:
                 token = ctypes.c_int64(-1)
@@ -227,24 +257,26 @@ class AudioBatchLoader:
                     raise IOError(lib.sg_last_error().decode("utf-8", "replace"))
                 if n == 0:
                     return
-                try:
-                    data = np.ctypeslib.as_array(
-                        p_data, shape=(self.batch_size, self.target_len)
-                    )
-                    lengths = np.ctypeslib.as_array(
-                        p_len, shape=(self.batch_size,)
-                    ).copy()
-                    srs = np.ctypeslib.as_array(
-                        p_sr, shape=(self.batch_size,)
-                    ).copy()
-                    path_idx = np.ctypeslib.as_array(
-                        p_idx, shape=(self.batch_size,)
-                    ).copy()
-                    self._apply_rate_policy(data, lengths, srs, path_idx)
-                    yield data, lengths, srs
-                finally:
-                    lib.sg_loader_release(h, token)
+                data = np.ctypeslib.as_array(
+                    p_data, shape=(self.batch_size, self.target_len)
+                )
+                lengths = np.ctypeslib.as_array(
+                    p_len, shape=(self.batch_size,)
+                ).copy()
+                srs = np.ctypeslib.as_array(
+                    p_sr, shape=(self.batch_size,)
+                ).copy()
+                path_idx = np.ctypeslib.as_array(
+                    p_idx, shape=(self.batch_size,)
+                ).copy()
+                self._apply_rate_policy(data, lengths, srs, path_idx)
+                held.append(int(token.value))
+                yield data, lengths, srs
+                while len(held) > hold - 1:
+                    lib.sg_loader_release(h, held.pop(0))
         finally:
+            for t in held:
+                lib.sg_loader_release(h, t)
             lib.sg_loader_free(h)
 
     def _apply_rate_policy(
@@ -281,9 +313,15 @@ class AudioBatchLoader:
             converted = resample(sig[:need], float(sr), float(expected))
             m = min(converted.shape[0], self.target_len)
             data[i, :] = 0
-            data[i, :m] = (
-                _quantize_i16(converted[:m]) if self._i16 else converted[:m]
-            )
+            if self._u8:
+                from .ulaw import ulaw_encode
+
+                data[i, :m] = ulaw_encode(converted[:m])
+            else:
+                data[i, :m] = (
+                    _quantize_i16(converted[:m]) if self._i16
+                    else converted[:m]
+                )
             lengths[i] = m
 
     # ---- sources -----------------------------------------------------------
@@ -307,7 +345,9 @@ class AudioBatchLoader:
         int16 rows pass through verbatim in int16 mode (and dequantize
         exactly in float mode); float rows quantize once in int16 mode.
         """
-        np_dtype = np.int16 if self._i16 else np.float32
+        np_dtype = (
+            np.uint8 if self._u8 else np.int16 if self._i16 else np.float32
+        )
         n = len(self._memory)
         for start in range(0, n, self.batch_size):
             chunk = self._memory[start : start + self.batch_size]
@@ -318,7 +358,14 @@ class AudioBatchLoader:
             for i, sig in enumerate(chunk):
                 m = min(sig.shape[0], self.target_len)
                 row = sig[:m]
-                if self._i16:
+                if self._u8:
+                    from .ulaw import ulaw_encode
+
+                    data[i, :m] = ulaw_encode(
+                        row if row.dtype == np.int16
+                        else row.astype(np.float32)
+                    )
+                elif self._i16:
                     data[i, :m] = (
                         row if row.dtype == np.int16
                         else _quantize_i16(row.astype(np.float32))
@@ -348,7 +395,7 @@ class AudioBatchLoader:
             self.target_len,
             self._n_threads,
             self._prefetch,
-            1 if self._i16 else 0,
+            2 if self._u8 else (1 if self._i16 else 0),
         )
         if not h:
             raise IOError(lib.sg_last_error().decode("utf-8", "replace"))
@@ -357,9 +404,15 @@ class AudioBatchLoader:
     def _iter_native(self):
         """Yields raw (data, lengths, srs, path_idx) native batches."""
         lib = self._lib
-        nxt = lib.sg_loader_next_i16 if self._i16 else lib.sg_loader_next
-        np_dtype = np.int16 if self._i16 else np.float32
-        sample_ctype = ctypes.c_int16 if self._i16 else ctypes.c_float
+        if self._u8:
+            nxt, np_dtype, sample_ctype = (
+                lib.sg_loader_next_u8, np.uint8, ctypes.c_uint8)
+        elif self._i16:
+            nxt, np_dtype, sample_ctype = (
+                lib.sg_loader_next_i16, np.int16, ctypes.c_int16)
+        else:
+            nxt, np_dtype, sample_ctype = (
+                lib.sg_loader_next, np.float32, ctypes.c_float)
         h = self._new_native_handle()
         try:
             while True:
@@ -383,7 +436,9 @@ class AudioBatchLoader:
             lib.sg_loader_free(h)
 
     def _iter_py(self):
-        np_dtype = np.int16 if self._i16 else np.float32
+        np_dtype = (
+            np.uint8 if self._u8 else np.int16 if self._i16 else np.float32
+        )
         for start in range(0, len(self.paths), self.batch_size):
             chunk = self.paths[start : start + self.batch_size]
             data = np.zeros((self.batch_size, self.target_len), dtype=np_dtype)
@@ -393,9 +448,14 @@ class AudioBatchLoader:
             for i, p in enumerate(chunk):
                 sig, sr = read_wav(p, mono=True)
                 n = min(sig.shape[0], self.target_len)
-                data[i, :n] = (
-                    _quantize_i16(sig[:n]) if self._i16 else sig[:n]
-                )
+                if self._u8:
+                    from .ulaw import ulaw_encode
+
+                    data[i, :n] = ulaw_encode(sig[:n])
+                else:
+                    data[i, :n] = (
+                        _quantize_i16(sig[:n]) if self._i16 else sig[:n]
+                    )
                 lengths[i] = n
                 srs[i] = sr
                 path_idx[i] = start + i

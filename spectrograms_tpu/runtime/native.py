@@ -166,6 +166,33 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int64,
         c.POINTER(c.c_int32),
     ]
+
+    # μ-law transport mode (uncomplemented bytes, device expands —
+    # runtime/ulaw.py documents the convention).
+    lib.sg_loader_next_u8.restype = c.c_int64
+    lib.sg_loader_next_u8.argtypes = [
+        c.c_void_p,
+        c.POINTER(c.c_uint8),
+        c.POINTER(c.c_int64),
+        c.POINTER(c.c_int32),
+        c.POINTER(c.c_int64),
+    ]
+    lib.sg_loader_acquire_u8.restype = c.c_int64
+    lib.sg_loader_acquire_u8.argtypes = [
+        c.c_void_p,
+        c.POINTER(c.c_int64),
+        c.POINTER(c.POINTER(c.c_uint8)),
+        c.POINTER(c.POINTER(c.c_int64)),
+        c.POINTER(c.POINTER(c.c_int32)),
+        c.POINTER(c.POINTER(c.c_int64)),
+    ]
+    lib.sg_wav_decode_into_ulaw.restype = c.c_int64
+    lib.sg_wav_decode_into_ulaw.argtypes = [
+        c.c_char_p,
+        c.POINTER(c.c_uint8),
+        c.c_int64,
+        c.POINTER(c.c_int32),
+    ]
     return lib
 
 

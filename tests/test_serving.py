@@ -284,3 +284,152 @@ class TestMemorySource:
             AudioBatchLoader.from_arrays(
                 [np.ones(8), np.ones(8)], batch_size=2, target_len=SR,
                 sample_rates=[16000])
+
+
+class TestUlawTransport:
+    """transport='ulaw': 8-bit companded device transport (round 5)."""
+
+    def test_codec_roundtrip_all_codes(self):
+        """device decode == host LUT decode for every byte; silence is 0."""
+        from spectrograms_tpu.runtime.ulaw import (
+            ulaw_decode_i16, ulaw_decode_jax, ulaw_encode,
+        )
+        import jax.numpy as jnp
+
+        codes = np.arange(256, dtype=np.uint8)
+        host = ulaw_decode_i16(codes).astype(np.float32) / 32768.0
+        dev = np.asarray(ulaw_decode_jax(jnp.asarray(codes), np.float32))
+        np.testing.assert_allclose(dev, host, rtol=0, atol=0)
+        assert ulaw_encode(np.zeros(4, dtype=np.int16)).tolist() == [0] * 4
+        assert ulaw_decode_i16(np.zeros(4, dtype=np.uint8)).tolist() == [0] * 4
+
+    def test_codec_encode_decode_monotone_and_bounded(self):
+        """decode(encode(s)) stays within the G.711 quantization step."""
+        from spectrograms_tpu.runtime.ulaw import ulaw_decode_i16, ulaw_encode
+
+        s = np.linspace(-32768, 32767, 20001).astype(np.int16)
+        rt = ulaw_decode_i16(ulaw_encode(s)).astype(np.int64)
+        # step size grows with magnitude: 8 near zero, 1024 at full scale
+        err = np.abs(rt - s.astype(np.int64))
+        step = np.maximum(np.abs(s.astype(np.int64)) // 16, 4)
+        assert (err <= step + 132).all()
+        # monotone non-decreasing decode over sorted inputs
+        assert (np.diff(rt) >= 0).all()
+
+    def test_pipeline_ulaw_matches_float_within_sqnr(self, clips):
+        """ulaw features track the float32 transport within the companding
+        error (mel-dB: a few dB on noise clips; exact geometry/masks)."""
+        paths, _ = clips
+        plan = _plan()
+        want = list(
+            FeaturePipeline(plan, batch_size=3, target_seconds=1.0).run(paths)
+        )
+        got = list(
+            FeaturePipeline(
+                plan, batch_size=3, target_seconds=1.0, transport="ulaw"
+            ).run(paths)
+        )
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g.lengths, w.lengths)
+            np.testing.assert_array_equal(
+                np.asarray(g.frame_mask), np.asarray(w.frame_mask)
+            )
+            gm, wm = np.asarray(g.masked()), np.asarray(w.masked())
+            # dB-domain features; compare where the float path has signal
+            live = wm > -60.0
+            if live.any():
+                assert np.abs(gm[live] - wm[live]).max() < 3.0
+
+    def test_pipeline_ulaw_memory_source(self, clips):
+        """run_arrays with ulaw transport quantizes once on the host."""
+        paths, _ = clips
+        rng = np.random.default_rng(5)
+        arrays = [
+            (0.3 * rng.standard_normal(SR)).astype(np.float32)
+            for _ in range(4)
+        ]
+        plan = _plan()
+        pipe = FeaturePipeline(
+            plan, batch_size=4, target_seconds=1.0, transport="ulaw"
+        )
+        batches = list(pipe.run_arrays(arrays, sample_rates=SR))
+        assert len(batches) == 1
+        assert int((batches[0].lengths > 0).sum()) == 4
+
+    def test_loader_ulaw_native_matches_python(self, clips):
+        """native u8 ring rows == the Python reference encode of the WAVs."""
+        from spectrograms_tpu.runtime.loader import AudioBatchLoader
+        from spectrograms_tpu.runtime.ulaw import ulaw_encode
+        from spectrograms_tpu.runtime.wav import read_wav
+
+        paths, lengths = clips
+        loader = AudioBatchLoader(
+            paths, batch_size=len(paths), target_len=SR,
+            expected_sample_rate=SR, dtype="ulaw",
+        )
+        (data, lens, _), = list(loader.iter_with_rates())
+        assert data.dtype == np.uint8
+        for i, p in enumerate(paths):
+            sig, _ = read_wav(p, mono=True)
+            n = min(len(sig), SR)
+            np.testing.assert_array_equal(data[i, :n], ulaw_encode(sig[:n]))
+            np.testing.assert_array_equal(data[i, n:], 0)  # silence pads
+
+
+class TestPipelinedUploads:
+    def test_hold_window_yields_identical_batches(self, clips):
+        """iter_borrowed(hold=2) must yield the same data as hold=1."""
+        from spectrograms_tpu.runtime.loader import AudioBatchLoader
+
+        paths, _ = clips
+
+        def collect(hold):
+            loader = AudioBatchLoader(
+                paths, batch_size=2, target_len=SR,
+                expected_sample_rate=SR, prefetch_batches=4,
+            )
+            return [
+                (np.array(d), np.array(ls))
+                for d, ls, _ in loader.iter_borrowed(hold=hold)
+            ]
+
+        a, b = collect(1), collect(2)
+        assert len(a) == len(b) == 3
+        for (da, la), (db, lb) in zip(a, b):
+            np.testing.assert_array_equal(da, db)
+            np.testing.assert_array_equal(la, lb)
+
+    def test_hold_validation(self, clips):
+        from spectrograms_tpu.runtime.loader import AudioBatchLoader
+
+        paths, _ = clips
+        loader = AudioBatchLoader(
+            paths, batch_size=2, target_len=SR,
+            expected_sample_rate=SR, prefetch_batches=2,
+        )
+        with pytest.raises(sg.InvalidInputError):
+            next(loader.iter_borrowed(hold=2))  # hold must be < prefetch
+        with pytest.raises(sg.InvalidInputError):
+            next(loader.iter_borrowed(hold=0))
+
+    def test_pipeline_results_unchanged_by_pipelining(self, clips):
+        """The pipelined _run_loader yields the same features/order as a
+        plain loader pass through the same plan."""
+        paths, _ = clips
+        plan = _plan()
+        pipe = FeaturePipeline(plan, batch_size=2, target_seconds=1.0)
+        got = [np.asarray(b.masked()) for b in pipe.run(paths)]
+        from spectrograms_tpu.runtime.loader import AudioBatchLoader
+
+        loader = AudioBatchLoader(
+            paths, batch_size=2, target_len=SR, expected_sample_rate=SR,
+        )
+        want = []
+        for data, lens, _ in loader.iter_with_rates():
+            feats = np.asarray(plan.compute_batch(data))
+            mask = pipe._frame_mask(lens)
+            want.append(feats * mask[:, None, :])
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-5)

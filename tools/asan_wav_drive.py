@@ -13,6 +13,8 @@ lib.sg_wav_write.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ct
 lib.sg_last_error.restype = ctypes.c_char_p
 lib.sg_wav_decode_into_i16.restype = ctypes.c_int64
 lib.sg_wav_decode_into_i16.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+lib.sg_wav_decode_into_ulaw.restype = ctypes.c_int64
+lib.sg_wav_decode_into_ulaw.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
 
 def decode(path, cap):
     dst = np.full(cap, 9.0, dtype=np.float32)
@@ -23,6 +25,13 @@ def decode(path, cap):
     sr16 = ctypes.c_int32()
     n16 = lib.sg_wav_decode_into_i16(path.encode(), dst16.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), cap, ctypes.byref(sr16))
     assert n16 == n and (n < 0 or sr16.value == sr.value), (path, n, n16)
+    # ulaw twin: same length/rate contract, tail must be 0x00 (silence)
+    dst8 = np.full(cap, 7, dtype=np.uint8)
+    sr8 = ctypes.c_int32()
+    n8 = lib.sg_wav_decode_into_ulaw(path.encode(), dst8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap, ctypes.byref(sr8))
+    assert n8 == n and (n < 0 or sr8.value == sr.value), (path, n, n8)
+    if n >= 0:
+        assert np.all(dst8[n:] == 0)
     return n, sr.value, dst
 
 # well-formed: mono/stereo x bits
