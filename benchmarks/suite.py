@@ -566,10 +566,11 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
             "host_to_device_u8": round(upload_rate_u8, 1),
             "one_program_roundtrip": round(dispatch_rate, 1),
         },
-        "note": "end-to-end target >= 90% of min(components) via pipelined "
-                "uploads (hold=2); shared 4-core host + tunnel-attached "
-                f"device, range over {reps} full passes; int16 transport "
-                "bit-exact vs f32 for PCM16 sources",
+        "note": "end-to-end = min of the components on this rig (tunnel "
+                "serializes transfers; pipeline_uploads measured negative "
+                "here, docs/serving.md); shared 4-core host + "
+                f"tunnel-attached device, range over {reps} full passes; "
+                "int16 transport bit-exact vs f32 for PCM16 sources",
     }
 
 

@@ -414,12 +414,18 @@ class TestPipelinedUploads:
             next(loader.iter_borrowed(hold=0))
 
     def test_pipeline_results_unchanged_by_pipelining(self, clips):
-        """The pipelined _run_loader yields the same features/order as a
-        plain loader pass through the same plan."""
+        """pipeline_uploads=True yields the same features/order as the
+        default serial discipline and as a plain loader pass."""
         paths, _ = clips
         plan = _plan()
-        pipe = FeaturePipeline(plan, batch_size=2, target_seconds=1.0)
+        pipe = FeaturePipeline(
+            plan, batch_size=2, target_seconds=1.0, pipeline_uploads=True
+        )
         got = [np.asarray(b.masked()) for b in pipe.run(paths)]
+        serial = FeaturePipeline(plan, batch_size=2, target_seconds=1.0)
+        for g, b in zip(got, serial.run(paths)):
+            np.testing.assert_allclose(g, np.asarray(b.masked()),
+                                       rtol=1e-6, atol=1e-6)
         from spectrograms_tpu.runtime.loader import AudioBatchLoader
 
         loader = AudioBatchLoader(
