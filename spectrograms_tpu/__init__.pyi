@@ -2553,7 +2553,7 @@ class FeaturePipeline:
     >>> for batch in pipe.run(paths):
     ...     train_step(batch.masked())
     """
-    def __init__(self, plan, batch_size, target_seconds, sample_rate_hz = None, mesh = None, data_axis = 'data', n_threads = 4, prefetch_batches = 4, on_rate_mismatch = 'error', autotune = False, transport = 'float32'):
+    def __init__(self, plan, batch_size, target_seconds, sample_rate_hz = None, mesh = None, data_axis = 'data', n_threads = 4, prefetch_batches = 4, on_rate_mismatch = 'error', autotune = False, transport = 'float32', pipeline_uploads = False):
         """Construct and validate; raises InvalidInputError on bad arguments."""
         ...
 
@@ -2580,7 +2580,13 @@ class FeaturePipeline:
 
 
 class FeatureBatch:
-    """One served batch: features + per-item validity."""
+    """One served batch: features + per-item validity.
+
+    ``frame_mask`` is host-resident numpy (it is derived from the host-side
+    lengths): shipping it eagerly would add one serialized tunnel transfer
+    per batch to every consumer, including the many that never mask.
+    ``masked()`` (and any jnp op) uploads it on first use.
+    """
     features: Any
     lengths: Any
     frame_mask: Any
@@ -3259,6 +3265,38 @@ def compute_cqt_magnitude_spectrogram(samples, params, scale_params, dtype = Non
 
 def compute_cqt_db_spectrogram(samples, params, scale_params, db = None, dtype = None, method = 'auto', _s = FreqScale.CQT, _a = AmpScale.DECIBELS):
     """One-shot cqt db spectrogram (parity with the PyO3 pyfunction of the same name)."""
+    ...
+
+def stft_x2(samples, n_fft, hop_size, window = 'hanning', centre = True):
+    """STFT in double-double: f32 signal → dd complex (n_bins, n_frames).
+
+    Returns ``((re_hi, re_lo), (im_hi, im_lo))``, each (n_bins, n_frames)
+    f32 — the dd-pair analog of :func:`spectrograms_tpu.stft` (which cites
+    ``/root/reference/src/spectrogram.rs`` for the framing semantics).
+    """
+    ...
+
+def istft_x2(spec_x2, n_fft, hop_size, window = 'hanning', centre = True):
+    """Inverse STFT in double-double: dd complex bins → dd signal (hi, lo).
+
+    The dd analog of :func:`spectrograms_tpu.istft` (windowed overlap-add,
+    window-energy normalization, centre-pad strip). Round-trip accuracy vs
+    CPU f64: ≲1e-13 relative (tests/test_f32x2.py). Requires
+    ``hop_size | n_fft`` (the dd OLA uses the hop-block decomposition).
+    """
+    ...
+
+def fft2d_x2(data):
+    """2-D r2c FFT in double-double → dd complex (nrows, ncols//2+1).
+
+    The dd analog of :func:`spectrograms_tpu.fft2d` (row–column
+    decomposition, parity semantics with ``/root/reference/src/fft2d.rs``);
+    needs power-of-two dimensions.
+    """
+    ...
+
+def ifft2d_x2(spec_x2, output_ncols):
+    """Inverse of :func:`fft2d_x2` → real dd pair (hi, lo)."""
     ...
 
 __all__: List[str]

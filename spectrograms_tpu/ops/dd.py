@@ -36,7 +36,7 @@ import numpy as np
 __all__ = [
     "dd", "dd_from_f64", "dd_to_f64", "two_sum", "two_prod",
     "dd_add", "dd_sub", "dd_mul", "dd_sqrt", "dd_fft", "dd_rfft",
-    "dd_matvec", "dd_tree_sum",
+    "dd_ifft", "dd_irfft", "dd_matvec", "dd_tree_sum",
 ]
 
 _SPLITTER = np.float32(4097.0)  # 2^12 + 1 for f32 Dekker splitting
@@ -260,6 +260,44 @@ def dd_rfft(x, n: int):
     re, im = dd_fft((x, zero), n)
     sl = lambda a: a[..., : n // 2 + 1]
     return ((sl(re[0]), sl(re[1])), (sl(im[0]), sl(im[1])))
+
+
+def dd_ifft(z, n: int):
+    """Inverse complex FFT over the last axis (length n = 2^k).
+
+    conj → forward :func:`dd_fft` → conj, scaled by 1/n. n is a power of
+    two, so the scale multiplies both dd components EXACTLY (no error
+    term enters the pair).
+    """
+    (reh, rel), (imh, iml) = z
+    re, im = dd_fft(((reh, rel), (-imh, -iml)), n)
+    s = np.float32(1.0 / n)  # exact power of two in f32
+    return (
+        (re[0] * s, re[1] * s),
+        (-im[0] * s, -im[1] * s),
+    )
+
+
+def dd_irfft(spec, n: int):
+    """Inverse real FFT: complex dd (..., n//2+1) bins → real dd (..., n).
+
+    Rebuilds the Hermitian full spectrum (bin n−k = conj(bin k)) with pure
+    slicing — exact in dd — then :func:`dd_ifft`; the imaginary output is
+    discarded (it is dd-roundoff for Hermitian input).
+    """
+    (reh, rel), (imh, iml) = spec
+
+    def full(a, sign):
+        # [a0 .. a_{n/2}, sign·a_{n/2-1} .. sign·a_1]
+        tail = a[..., 1:-1][..., ::-1]
+        return jnp.concatenate([a, sign * tail], axis=-1)
+
+    z = (
+        (full(reh, 1.0), full(rel, 1.0)),
+        (full(imh, -1.0), full(iml, -1.0)),
+    )
+    re, _ = dd_ifft(z, n)
+    return re
 
 
 def dd_tree_sum(p):
