@@ -244,6 +244,7 @@ class MfccPlan:
                     )
                     return run(self._mel_plan._mr_pre(x))[..., :nf]
 
+                self._fs_kernel_run = run  # post-decimation fused kernel
                 self._forward = pallas_forward_xla_grad(
                     jax.jit(_mr_run), xla_forward
                 )
@@ -251,13 +252,50 @@ class MfccPlan:
                     jax.jit(_mr_run), jax.vmap(xla_forward)
                 )
             else:
+                self._fs_kernel_run = None
                 self._forward = pallas_forward_xla_grad(run, xla_forward)
                 self._forward_batch = pallas_forward_xla_grad(
                     run, jax.vmap(xla_forward)
                 )
         else:
+            self._fs_kernel_run = None
             self._forward = jax.jit(xla_forward)
             self._forward_batch = jax.jit(jax.vmap(xla_forward))
+
+    # ---- FeatureSet hooks (shared-cascade multi-feature steps) ----------
+    def _fs_cascade_spec(self):
+        """Delegate to the mel front end (multirate mel decimation)."""
+        return self._mel_plan._fs_cascade_spec()
+
+    def _fs_forward_batch(self, xb, cascade=None):
+        """Batched forward for FeatureSet, optionally on a shared cascade."""
+        mp = self._mel_plan
+        if cascade is None or self._fs_cascade_spec() is None:
+            return self._forward_batch(xb)
+        from .ops.framing import frame_count as _fc
+
+        n = int(xb.shape[-1])
+        d, inner = mp._multirate_inner
+        nf = _fc(n, mp._n_fft, mp._hop, mp._centre)
+        y = cascade.level_slice(
+            d, mp._mr_pad, -(-(n + 2 * mp._mr_pad) // (1 << d))
+        ) * mp._mr_gain
+
+        def xla_batch(yb):
+            log_mel = inner._forward_batch(yb)[..., :nf]  # (B, n_mels, nf)
+            out = _mfcc_core(
+                jnp.swapaxes(log_mel, -1, -2), self._basis,
+                self.mfcc_params.include_c0, self.mfcc_params.n_mfcc,
+            )
+            return jnp.swapaxes(out, -1, -2)
+
+        if self._fs_kernel_run is not None:
+            from .ops.gradients import pallas_forward_xla_grad
+
+            return pallas_forward_xla_grad(
+                lambda yb: self._fs_kernel_run(yb)[..., :nf], xla_batch
+            )(y)
+        return xla_batch(y)
 
     def compute(self, samples) -> Mfcc:
         x = jnp.asarray(samples).astype(self._dtype)

@@ -73,6 +73,7 @@ EXAMPLES = [
     "trainable_frontend.py",
     "cqt_multirate.py",
     "serving_memory_source.py",
+    "featureset_multifeature.py",
 ]
 
 REPO = Path(__file__).resolve().parents[1]

@@ -201,3 +201,58 @@ class TestFeatureSet:
         fs = sg.FeatureSet([mel32])
         with pytest.raises(sg.InvalidInputError):
             fs.compute_batch(xb[0])  # 1-D where a batch is expected
+
+
+class TestMfccMember:
+    def test_mfcc_multirate_member_matches_standalone(self):
+        """MfccPlan with a multirate mel front end shares the cascade."""
+        from spectrograms_tpu.mfcc import MfccPlan
+
+        sr = 16000
+        xb16 = np.random.default_rng(11).standard_normal(
+            (2, sr * 2)).astype(np.float32)
+        plan = MfccPlan(
+            sg.StftParams(1024, 256), float(sr),
+            mel_params=sg.MelParams(64, 0.0, 2000.0).with_multirate(),
+            mfcc_params=sg.MfccParams(13),
+            dtype="float32",
+        )
+        assert plan._mel_plan._multirate_inner is not None
+        fs = sg.FeatureSet([plan])
+        (got,) = fs.compute_batch(xb16)
+        want = np.asarray(plan.compute_batch(xb16))
+        d = plan._mel_plan._multirate_inner[0]
+        if d <= 2:
+            np.testing.assert_allclose(
+                np.asarray(got), want, rtol=1e-5, atol=1e-5
+            )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(got), want, rtol=1e-3,
+                atol=1e-3 * np.abs(want).max(),
+            )
+
+    def test_mfcc_and_mel_share_one_cascade(self):
+        """An MFCC plan and a mel plan with the same front end coexist."""
+        from spectrograms_tpu.mfcc import MfccPlan
+
+        sr = 16000
+        xb16 = np.random.default_rng(12).standard_normal(
+            (2, sr)).astype(np.float32)
+        p = sg.SpectrogramParams(sg.StftParams(1024, 256), float(sr))
+        mel = sg.MelParams(64, 0.0, 2000.0).with_multirate()
+        mel_plan = sg.MelPowerPlan(p, mel, dtype="float32")
+        mfcc_plan = MfccPlan(
+            p.stft, float(sr), mel_params=mel,
+            mfcc_params=sg.MfccParams(13), dtype="float32",
+        )
+        fs = sg.FeatureSet([mel_plan, mfcc_plan])
+        got_mel, got_mfcc = fs.compute_batch(xb16)
+        np.testing.assert_allclose(
+            np.asarray(got_mel), np.asarray(mel_plan.compute_batch(xb16)),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_mfcc), np.asarray(mfcc_plan.compute_batch(xb16)),
+            rtol=1e-4, atol=1e-4,
+        )
