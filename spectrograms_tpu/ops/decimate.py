@@ -256,9 +256,17 @@ class DecimationCascade:
         self._levels = {0: x}
 
     def level(self, d: int):
-        """Level-d decimation of the padded signal (full padded extent)."""
+        """Level-d decimation of the padded signal (full padded extent).
+
+        Construction is a pure function of (d, composite) — NOT of which
+        levels happen to be materialized already — so shared results never
+        depend on member/evaluation order: composite mode chains stride-4
+        composite stages through the EVEN levels (2 from 0, 4 from 2, …)
+        with odd levels taking one half-band off the even level below;
+        plain mode chains single half-bands.
+        """
         if d not in self._levels:
-            if self.composite and d >= 2 and (d - 1) not in self._levels:
+            if self.composite and d >= 2 and d % 2 == 0:
                 self._levels[d] = decimate_pow2_framed(
                     self.level(d - 2), 2, precision=self.precision
                 )

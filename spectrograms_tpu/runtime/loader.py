@@ -228,7 +228,10 @@ class AudioBatchLoader:
             return
         if hold < 1:
             raise InvalidInputError(f"hold must be >= 1, got {hold}")
-        if hold >= max(1, self._prefetch):
+        if hold >= 2 and hold >= max(1, self._prefetch):
+            # hold=1 releases each slot before the next acquire, so even a
+            # 1-slot ring cannot deadlock; only multi-slot holds can starve
+            # the decode workers.
             raise InvalidInputError(
                 f"hold={hold} must be < prefetch_batches={self._prefetch}: "
                 "holding every ring slot would deadlock the decode workers"

@@ -91,6 +91,13 @@ class FeaturePipeline:
         # discipline — docs/serving.md). Default off; flip it on real
         # hardware.
         self.pipeline_uploads = bool(pipeline_uploads)
+        if self.pipeline_uploads and prefetch_batches < 3:
+            raise InvalidInputError(
+                "pipeline_uploads=True holds two loader ring slots and "
+                "needs prefetch_batches >= 3 (got "
+                f"{prefetch_batches}) so the decode workers keep a free "
+                "slot"
+            )
         # transport='int16' ships raw PCM over the host→device link (half
         # the bytes — the measured binding constraint of config 7) and
         # dequantizes inside the jitted program with the exact power-of-two
@@ -296,13 +303,21 @@ class FeaturePipeline:
                 yield self._emit(self._upload(data), lengths)
             return
         pending = None  # (uploaded-but-not-dispatched xb, lengths)
-        for data, lengths, _ in loader.iter_borrowed(hold=2):
-            xb = self._upload(data)  # async: batch k starts streaming now
+        try:
+            for data, lengths, _ in loader.iter_borrowed(hold=2):
+                xb = self._upload(data)  # async: batch k streams now
+                prev, pending = pending, (xb, lengths)
+                if prev is not None:
+                    yield self._emit(*prev)  # blocks on batch k−1's upload
             if pending is not None:
-                yield self._emit(*pending)  # blocks on batch k−1's upload
-            pending = (xb, lengths)
-        if pending is not None:
-            yield self._emit(*pending)
+                yield self._emit(*pending)
+                pending = None
+        finally:
+            if pending is not None:
+                # The consumer exited with an upload still in flight;
+                # wait for it BEFORE iter_borrowed's cleanup releases the
+                # ring slot the transfer is reading from.
+                jax.block_until_ready(pending[0])
 
     def _upload(self, data):
         """Enqueue the host→device transfer of one borrowed batch."""

@@ -256,3 +256,33 @@ class TestMfccMember:
             np.asarray(got_mfcc), np.asarray(mfcc_plan.compute_batch(xb16)),
             rtol=1e-4, atol=1e-4,
         )
+
+
+class TestCascadeOrderIndependence:
+    def test_mixed_depth_members_bit_exact_any_order(self):
+        """Review r5: level construction must not depend on member order.
+
+        chroma at d=1 + mel at d=2 in one flavor: level 2 must be the
+        single composite stage the standalone mel uses, even when level 1
+        was materialized first.
+        """
+        sr = 16000
+        xb = np.random.default_rng(5).standard_normal(
+            (2, sr)).astype(np.float32)
+        p = sg.SpectrogramParams(sg.StftParams(1024, 256), float(sr))
+        mel = sg.MelPowerPlan(
+            p, sg.MelParams(64, 0.0, 1500.0).with_multirate(),
+            dtype="float32",
+        )
+        ch = ChromaPlan(
+            p.stft, float(sr),
+            sg.ChromaParams(f_min=100.0, f_max=3000.0, multirate=True),
+            dtype="float32",
+        )
+        assert ch._decimation == 1 and mel._multirate_inner[0] == 2
+        want_mel = np.asarray(mel.compute_batch(xb))
+        want_ch = np.asarray(ch.compute_batch(xb))
+        for members, mel_idx, ch_idx in [([ch, mel], 1, 0), ([mel, ch], 0, 1)]:
+            out = sg.FeatureSet(members).compute_batch(xb)
+            np.testing.assert_array_equal(np.asarray(out[mel_idx]), want_mel)
+            np.testing.assert_array_equal(np.asarray(out[ch_idx]), want_ch)

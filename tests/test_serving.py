@@ -439,3 +439,26 @@ class TestPipelinedUploads:
         assert len(got) == len(want)
         for g, w in zip(got, want):
             np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-5)
+
+
+class TestReviewRegressions:
+    def test_prefetch_one_hold_one_still_works(self, clips):
+        """Review r5: hold=1 must stay legal on a 1-slot ring."""
+        from spectrograms_tpu.runtime.loader import AudioBatchLoader
+
+        paths, _ = clips
+        loader = AudioBatchLoader(
+            paths, batch_size=2, target_len=SR,
+            expected_sample_rate=SR, prefetch_batches=1,
+        )
+        batches = list(loader.iter_borrowed())
+        assert len(batches) == 3
+
+    def test_pipeline_uploads_validates_prefetch(self):
+        """Review r5: the constructor rejects the impossible combination
+        instead of failing later inside the loader."""
+        with pytest.raises(sg.InvalidInputError):
+            FeaturePipeline(
+                _plan(), batch_size=2, target_seconds=1.0,
+                prefetch_batches=2, pipeline_uploads=True,
+            )

@@ -68,6 +68,12 @@ def main():
     print("groups:", [(d, k.shape, flen, jp) for d, k, e0, flen, jp in groups],
           flush=True)
 
+    # Round-5 rows: the shared-cascade composed plan (the suite default)
+    # and its cqt+chroma core, so the sharing saving is attributable.
+    fs_pair = sg.FeatureSet([cqt_max, chroma_plan])
+    fs_full = sg.FeatureSet(
+        [cqt_max, chroma_plan, lambda b: jax.vmap(mdct_one)(b)])
+
     variants = {
         "cqt dense": lambda x: jnp.sum(jax.vmap(cqt_plan._forward_impl)(x)),
         "cqt multi-max": lambda x: jnp.sum(jax.vmap(cqt_max._forward_impl)(x)),
@@ -75,6 +81,10 @@ def main():
             lambda x: dec_cascade(x, d_max),
         "chroma (multirate)": lambda x: jnp.sum(chroma_fwd(x)),
         "mdct roundtrip": lambda x: jnp.sum(jax.vmap(mdct_one)(x)),
+        "featureset cqt+chroma (shared)":
+            lambda x: sum(jnp.sum(o) for o in fs_pair._step_impl(x)),
+        "featureset full step (suite value)":
+            lambda x: sum(jnp.sum(o) for o in fs_full._step_impl(x)),
     }
     res = {}
     for rep in range(3):

@@ -96,11 +96,13 @@ def _doc_md(obj, member_name: str = "") -> str:
     # blocks so markdown renders them as code.
     out, in_code = [], False
     for line in doc.split("\n"):
-        is_code = line.lstrip().startswith(">>>") or line.lstrip().startswith("...")
-        if is_code and not in_code:
+        starts_code = line.lstrip().startswith(">>>") or line.lstrip().startswith("...")
+        if starts_code and not in_code:
             out.append("```python")
             in_code = True
-        elif in_code and not is_code and line.strip():
+        elif in_code and not line.strip():
+            # A doctest block runs to the next blank line — expected-output
+            # lines (non-blank, no >>> prefix) stay INSIDE the fence.
             out.append("```")
             in_code = False
         out.append(line)
