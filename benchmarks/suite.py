@@ -536,30 +536,63 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
     loader_rate_i16 = _loader_rate("int16")
     loader_rate = _loader_rate("float32")
 
-    x32 = np.zeros((32, sr * 10), dtype=np.float32)
-    xb = jnp.asarray(x32)
-    jax.block_until_ready(xb)
-    t0 = _time.perf_counter()
-    jax.block_until_ready(jnp.asarray(x32))
-    upload_rate = 320.0 / (_time.perf_counter() - t0)
+    # Transport-wall protocol (round 5, tools/upload_* probes): the tunnel
+    # has TWO transfer modes — ~1 GB/s until the first real program
+    # executes in the process, then a process-permanent ~35-80 MB/s mode
+    # that every serving loop necessarily runs in (the compute step IS a
+    # program). Walls must therefore be measured (a) here, AFTER the
+    # end-to-end passes above (same mode as the loop), (b) with NOVEL
+    # random PCM-like buffers each rep (repeated/zero content can measure
+    # faster in this mode), (c) as medians over several reps.
+    _rng = np.random.default_rng(42)
 
-    x16 = np.zeros((32, sr * 10), dtype=np.int16)
-    jax.block_until_ready(jnp.asarray(x16))
-    t0 = _time.perf_counter()
-    jax.block_until_ready(jnp.asarray(x16))
-    upload_rate_i16 = 320.0 / (_time.perf_counter() - t0)
+    def _upload_wall(dtype, k=5):
+        if dtype == np.float32:
+            mk = lambda: (0.1 * _rng.standard_normal((32, sr * 10))
+                          ).astype(np.float32)
+        elif dtype == np.int16:
+            mk = lambda: _rng.integers(
+                -3277, 3277, (32, sr * 10)).astype(np.int16)
+        else:
+            mk = lambda: _rng.integers(
+                0, 256, (32, sr * 10)).astype(np.uint8)
+        jax.block_until_ready(jnp.asarray(mk()))  # warm the transfer path
+        ts = []
+        for _ in range(k):
+            x = mk()
+            t0 = _time.perf_counter()
+            jax.block_until_ready(jnp.asarray(x))
+            ts.append(_time.perf_counter() - t0)
+        ts.sort()
+        return 320.0 / ts[len(ts) // 2]
 
-    xu8 = np.zeros((32, sr * 10), dtype=np.uint8)
-    jax.block_until_ready(jnp.asarray(xu8))
-    t0 = _time.perf_counter()
-    jax.block_until_ready(jnp.asarray(xu8))
-    upload_rate_u8 = 320.0 / (_time.perf_counter() - t0)
+    upload_rate = _upload_wall(np.float32)
+    upload_rate_i16 = _upload_wall(np.int16)
+    upload_rate_u8 = _upload_wall(np.uint8)
 
-    fd = pipe_f32._step(xb)
-    jax.block_until_ready(fd)
-    t0 = _time.perf_counter()
+    xb = jnp.asarray(
+        (0.1 * _rng.standard_normal((32, sr * 10))).astype(np.float32))
     jax.block_until_ready(pipe_f32._step(xb))
-    dispatch_rate = 320.0 / (_time.perf_counter() - t0)
+    ts = []
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        jax.block_until_ready(pipe_f32._step(xb))
+        ts.append(_time.perf_counter() - t0)
+    dispatch_rate = 320.0 / sorted(ts)[1]
+
+    # Serialized-wall model: on this rig transfers and programs share one
+    # serialized tunnel stream, so the best an end-to-end loop can do is
+    # 1/(1/upload + 1/roundtrip) — report the loop's efficiency against it.
+    def _wall(up):
+        return 1.0 / (1.0 / up + 1.0 / dispatch_rate)
+
+    eff = {
+        "int16": round(rates[len(rates) // 2] / _wall(upload_rate_i16), 3),
+        "float32": round(
+            rates_f32[len(rates_f32) // 2] / _wall(upload_rate), 3),
+        "ulaw": round(
+            rates_u8[len(rates_u8) // 2] / _wall(upload_rate_u8), 3),
+    }
 
     return {
         "config": "7: end-to-end WAV->mel-dB serving (256x10s PCM16, loader "
@@ -586,11 +619,18 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
             "host_to_device_u8": round(upload_rate_u8, 1),
             "one_program_roundtrip": round(dispatch_rate, 1),
         },
-        "note": "end-to-end = min of the components on this rig (tunnel "
-                "serializes transfers; pipeline_uploads measured negative "
-                "here, docs/serving.md); shared 4-core host + "
-                f"tunnel-attached device, range over {reps} full passes; "
-                "int16 transport bit-exact vs f32 for PCM16 sources",
+        "efficiency_vs_serialized_wall": eff,
+        "note": "end-to-end vs the serialized wall 1/(1/upload+1/roundtrip): "
+                "this rig's tunnel transfers at ~1 GB/s only until the "
+                "first real program executes, then drops to a "
+                "process-permanent slow mode every serving loop runs in "
+                "(tools/upload_degrade_probe*.py, "
+                "benchmarks/upload_degrade_*.json) — walls here are "
+                "measured post-execute with novel random buffers, medians. "
+                "pipeline_uploads measured negative here (docs/serving.md); "
+                "shared 4-core host + tunnel-attached device, range over "
+                f"{reps} full passes; int16 transport bit-exact vs f32 for "
+                "PCM16 sources",
     }
 
 
