@@ -2557,11 +2557,25 @@ class FeaturePipeline:
         """Construct and validate; raises InvalidInputError on bad arguments."""
         ...
 
-    def run(self, paths):
-        """Iterate feature batches over the given WAV files."""
+    def run(self, paths, *, preload = False, max_preload_bytes = 4294967296):
+        """Iterate feature batches over the given WAV files.
+
+        ``preload=True`` uploads EVERY batch of the job to the device
+        before dispatching the first program, then yields batches
+        dispatching compute over the staged device arrays. On rigs whose
+        host→device path degrades once a program has executed (see
+        docs/serving.md, "The two-mode tunnel") this moves all transport
+        into the fast mode — measured ~6× end-to-end on the config-7
+        workload — and on any rig it keeps the link streaming without
+        interleaved dispatches. The whole job's input must fit device
+        memory (guarded by ``max_preload_bytes``); the win applies to
+        the FIRST job in a process on two-mode rigs (the mode flip is
+        process-permanent), so batch jobs should run one job per process
+        there.
+        """
         ...
 
-    def run_arrays(self, arrays, sample_rates = None):
+    def run_arrays(self, arrays, sample_rates = None, *, preload = False, max_preload_bytes = 4294967296):
         """Iterate feature batches over pre-decoded signals (memory source).
 
         The codec-agnostic entry: decode anything (FLAC/MP3/opus/…) with
@@ -2572,9 +2586,23 @@ class FeaturePipeline:
         """
         ...
 
-    def throughput_report(self, paths):
+    def throughput_report(self, paths, *, preload = False):
         """Run once over ``paths`` and report audio-seconds/s end-to-end
         (decode + pad + transfer + compute, overlapped).
+        """
+        ...
+
+    def warm_preload(self):
+        """AOT-compile the serving step for this pipeline's batch shape
+        without executing it, caching the executable on the plan.
+
+        CAUTION on two-mode rigs (docs/serving.md): merely *loading* the
+        compiled program flips the process into the slow transfer mode —
+        measured, benchmarks/preload_serving_ab.json — so do NOT call
+        this before a preload job there; ``run(..., preload=True)``
+        already orders the compile AFTER the staging uploads. Use it on
+        locally-attached devices to pay the compile before the job's
+        data arrives. Returns True if the backend supports AOT here.
         """
         ...
 

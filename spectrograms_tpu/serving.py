@@ -222,8 +222,23 @@ class FeaturePipeline:
         nf = np.where(n <= 0, 0, np.minimum(nf, self._n_frames))
         return np.arange(self._n_frames)[None, :] < nf[:, None]
 
-    def run(self, paths: Sequence) -> Iterator[FeatureBatch]:
-        """Iterate feature batches over the given WAV files."""
+    def run(self, paths: Sequence, *, preload: bool = False,
+            max_preload_bytes: int = 4 << 30) -> Iterator[FeatureBatch]:
+        """Iterate feature batches over the given WAV files.
+
+        ``preload=True`` uploads EVERY batch of the job to the device
+        before dispatching the first program, then yields batches
+        dispatching compute over the staged device arrays. On rigs whose
+        host→device path degrades once a program has executed (see
+        docs/serving.md, "The two-mode tunnel") this moves all transport
+        into the fast mode — measured ~6× end-to-end on the config-7
+        workload — and on any rig it keeps the link streaming without
+        interleaved dispatches. The whole job's input must fit device
+        memory (guarded by ``max_preload_bytes``); the win applies to
+        the FIRST job in a process on two-mode rigs (the mode flip is
+        process-permanent), so batch jobs should run one job per process
+        there.
+        """
         loader = AudioBatchLoader(
             paths,
             batch_size=self.batch_size,
@@ -234,10 +249,14 @@ class FeaturePipeline:
             on_rate_mismatch=self.on_rate_mismatch,
             dtype=self._loader_dtype,
         )
+        if preload:
+            self._check_preload_budget(len(paths), max_preload_bytes)
+            return self._run_loader_preloaded(loader)
         return self._run_loader(loader)
 
-    def run_arrays(self, arrays: Sequence,
-                   sample_rates=None) -> Iterator[FeatureBatch]:
+    def run_arrays(self, arrays: Sequence, sample_rates=None, *,
+                   preload: bool = False,
+                   max_preload_bytes: int = 4 << 30) -> Iterator[FeatureBatch]:
         """Iterate feature batches over pre-decoded signals (memory source).
 
         The codec-agnostic entry: decode anything (FLAC/MP3/opus/…) with
@@ -273,7 +292,29 @@ class FeaturePipeline:
             on_rate_mismatch=self.on_rate_mismatch,
             dtype=self._loader_dtype,
         )
+        if preload:
+            self._check_preload_budget(len(arrays), max_preload_bytes)
+            return self._run_loader_preloaded(loader)
         return self._run_loader(loader)
+
+    def _check_preload_budget(self, n_items: int, max_preload_bytes: int):
+        """Refuse preload jobs whose staged inputs exceed the budget."""
+        itemsize = (
+            1 if self._u8 else 2 if self._i16
+            else np.dtype(self.plan._dtype).itemsize
+        )
+        n_batches = -(-n_items // self.batch_size)
+        est = n_batches * self.batch_size * self.target_len * itemsize
+        if est > max_preload_bytes:
+            fmt = lambda b: (
+                f"{b / 2**30:.2f} GiB" if b >= 2**30 else f"{b / 2**20:.2f} MiB"
+            )
+            raise InvalidInputError(
+                f"preload=True would stage ~{fmt(est)} of input on the "
+                f"device (> max_preload_bytes={fmt(max_preload_bytes)}). "
+                "Split the job, use a smaller transport (int16/ulaw), or "
+                "raise max_preload_bytes if the device has the memory."
+            )
 
     @property
     def _loader_dtype(self) -> str:
@@ -319,6 +360,83 @@ class FeaturePipeline:
                 # ring slot the transfer is reading from.
                 jax.block_until_ready(pending[0])
 
+    def warm_preload(self):
+        """AOT-compile the serving step for this pipeline's batch shape
+        without executing it, caching the executable on the plan.
+
+        CAUTION on two-mode rigs (docs/serving.md): merely *loading* the
+        compiled program flips the process into the slow transfer mode —
+        measured, benchmarks/preload_serving_ab.json — so do NOT call
+        this before a preload job there; ``run(..., preload=True)``
+        already orders the compile AFTER the staging uploads. Use it on
+        locally-attached devices to pay the compile before the job's
+        data arrives. Returns True if the backend supports AOT here.
+        """
+        dt = (
+            jnp.uint8 if self._u8 else jnp.int16 if self._i16
+            else jnp.dtype(self.plan._dtype)
+        )
+        sds = jax.ShapeDtypeStruct((self.batch_size, self.target_len), dt)
+        return self._aot_step(sds) is not None
+
+    def _aot_step(self, aval):
+        """Compiled-executable cache for the preload path (plan-keyed,
+        like the jitted steps — one remote compile per distinct program)."""
+        key = (self.transport, tuple(aval.shape), str(aval.dtype),
+               self._sharding)
+        cache = getattr(self.plan, "_aot_step_cache", None)
+        if cache is None:
+            cache = self.plan._aot_step_cache = {}
+        if key not in cache:
+            try:
+                cache[key] = self._step.lower(aval).compile()
+            except Exception:
+                cache[key] = None  # backend without AOT support
+        return cache[key]
+
+    def _run_loader_preloaded(self, loader) -> Iterator[FeatureBatch]:
+        # Phase 1: decode + upload the WHOLE job, no program dispatched
+        # OR LOADED — on two-mode rigs (docs/serving.md) both execution
+        # and loading a compiled program flip the slow transfer mode, so
+        # staging must come first; elsewhere it is simply an
+        # uninterrupted upload burst. Lengths are copied out of the ring
+        # slot because the slot recycles as staging advances.
+        import time as _time
+
+        t0 = _time.perf_counter()
+        on_cpu = jax.default_backend() == "cpu"
+        staged = []
+        for data, lengths, _ in loader.iter_borrowed():
+            if on_cpu:
+                data = np.array(data)  # un-alias before the slot recycles
+            xb = self._upload(data)
+            jax.block_until_ready(xb)
+            staged.append((xb, np.array(lengths)))
+        t_stage = _time.perf_counter()
+        if not staged:
+            self.last_preload_stats = {
+                "stage_s": round(t_stage - t0, 4), "compile_s": 0.0,
+                "n_batches": 0,
+            }
+            return
+        # Phase 2: compile once (AOT, cached on the plan), then dispatch
+        # over the staged arrays. Compile is once-per-process work and is
+        # reported separately in last_preload_stats so throughput can be
+        # attributed without it.
+        step = self._aot_step(staged[0][0]) or self._step
+        t_compile = _time.perf_counter()
+        self.last_preload_stats = {
+            "stage_s": round(t_stage - t0, 4),
+            "compile_s": round(t_compile - t_stage, 4),
+            "n_batches": len(staged),
+        }
+        for xb, lengths in staged:
+            yield FeatureBatch(
+                features=step(xb),
+                lengths=lengths,
+                frame_mask=self._frame_mask(lengths),
+            )
+
     def _upload(self, data):
         """Enqueue the host→device transfer of one borrowed batch."""
         # int16/ulaw transports upload the quantized rows as-is; the jitted
@@ -347,7 +465,8 @@ class FeaturePipeline:
             frame_mask=self._frame_mask(lengths),
         )
 
-    def throughput_report(self, paths: Sequence) -> dict:
+    def throughput_report(self, paths: Sequence, *,
+                          preload: bool = False) -> dict:
         """Run once over ``paths`` and report audio-seconds/s end-to-end
         (decode + pad + transfer + compute, overlapped)."""
         import time
@@ -355,14 +474,28 @@ class FeaturePipeline:
         total_audio = 0.0
         t0 = time.perf_counter()
         last = None
-        for batch in self.run(paths):
+        for batch in self.run(paths, preload=preload):
             total_audio += float(batch.lengths.sum()) / self.sample_rate_hz
             last = batch
         if last is not None:
             last.features.block_until_ready()
         dt = time.perf_counter() - t0
-        return {
+        rep = {
             "audio_seconds": round(total_audio, 3),
             "wall_seconds": round(dt, 4),
             "audio_s_per_s": round(total_audio / dt, 1) if dt > 0 else 0.0,
         }
+        if preload:
+            # The one-per-process AOT compile happens inside a preload
+            # run (it must follow staging on two-mode rigs); report the
+            # steady rate with it excluded, like the serial path's
+            # warm-jit convention, alongside the cold total above.
+            stats = getattr(self, "last_preload_stats", None)
+            if stats is not None:
+                rep["preload_phases"] = stats
+                steady = dt - stats["compile_s"]
+                if steady > 0:
+                    rep["audio_s_per_s_excl_compile"] = round(
+                        total_audio / steady, 1
+                    )
+        return rep

@@ -73,6 +73,7 @@ EXAMPLES = [
     "trainable_frontend.py",
     "cqt_multirate.py",
     "serving_memory_source.py",
+    "serving_preload.py",
     "featureset_multifeature.py",
 ]
 

@@ -462,3 +462,73 @@ class TestReviewRegressions:
                 _plan(), batch_size=2, target_seconds=1.0,
                 prefetch_batches=2, pipeline_uploads=True,
             )
+
+
+class TestPreloadMode:
+    """run(preload=True): stage every upload before the first dispatch
+    (the two-mode-tunnel restructuring, docs/serving.md)."""
+
+    def test_preload_matches_serial_run(self, clips):
+        paths, _ = clips
+        for transport in ("float32", "int16", "ulaw"):
+            pipe = FeaturePipeline(
+                _plan(), batch_size=4, target_seconds=1.0,
+                transport=transport,
+            )
+            serial = [
+                (np.asarray(b.features), np.asarray(b.lengths),
+                 np.asarray(b.frame_mask))
+                for b in pipe.run(paths)
+            ]
+            pre = [
+                (np.asarray(b.features), np.asarray(b.lengths),
+                 np.asarray(b.frame_mask))
+                for b in pipe.run(paths, preload=True)
+            ]
+            assert len(serial) == len(pre)
+            for (fs, ls, ms), (fp, lp, mp) in zip(serial, pre):
+                np.testing.assert_array_equal(ls, lp)
+                np.testing.assert_array_equal(ms, mp)
+                np.testing.assert_array_equal(fs, fp)  # same program, same
+                # quantized inputs -> bit-exact regardless of transport
+
+    def test_preload_run_arrays(self, clips):
+        paths, lengths = clips
+        rng = np.random.default_rng(3)
+        arrays = [
+            (0.2 * rng.standard_normal(n)).astype(np.float32)
+            for n in lengths
+        ]
+        pipe = FeaturePipeline(
+            _plan(), batch_size=4, target_seconds=1.0, transport="int16",
+        )
+        serial = [
+            np.asarray(b.masked())
+            for b in pipe.run_arrays(arrays, sample_rates=SR)
+        ]
+        pre = [
+            np.asarray(b.masked())
+            for b in pipe.run_arrays(arrays, sample_rates=SR, preload=True)
+        ]
+        assert len(serial) == len(pre)
+        for s, p in zip(serial, pre):
+            np.testing.assert_array_equal(s, p)
+
+    def test_preload_budget_guard(self, clips):
+        paths, _ = clips
+        pipe = FeaturePipeline(
+            _plan(), batch_size=4, target_seconds=1.0, transport="int16",
+        )
+        with pytest.raises(sg.InvalidInputError, match="max_preload_bytes"):
+            list(pipe.run(paths, preload=True, max_preload_bytes=1024))
+        # Raises eagerly, before any decode work:
+        with pytest.raises(sg.InvalidInputError):
+            pipe.run(["missing.wav"] * 10_000, preload=True,
+                     max_preload_bytes=1 << 20)
+
+    def test_preload_throughput_report(self, clips):
+        paths, _ = clips
+        pipe = FeaturePipeline(_plan(), batch_size=4, target_seconds=1.0)
+        rep = pipe.throughput_report(paths, preload=True)
+        assert rep["audio_s_per_s"] > 0
+        assert rep["audio_seconds"] > 5.0

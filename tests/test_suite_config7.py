@@ -42,6 +42,11 @@ def test_config7_row_shape_and_attribution():
     ):
         assert comps[key] > 0, key
 
+    # Preload mode runs in a fresh subprocess (fast-mode transport on
+    # two-mode rigs); on CPU it must succeed and report a positive rate.
+    assert row["preload_mode"] is not None
+    assert row["preload_mode"]["value"] > 0
+
     eff = row["efficiency_vs_serialized_wall"]
     assert set(eff) == {"int16", "float32", "ulaw"}
     # On the CPU backend "uploads" are host copies, so efficiency is a
