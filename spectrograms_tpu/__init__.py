@@ -175,7 +175,7 @@ from .autotune import (
     load_wisdom,
 )
 
-__version__ = "0.5.0"
+__version__ = "0.5.1"
 
 __all__ = [
     # errors
