@@ -532,3 +532,25 @@ class TestPreloadMode:
         rep = pipe.throughput_report(paths, preload=True)
         assert rep["audio_s_per_s"] > 0
         assert rep["audio_seconds"] > 5.0
+
+    def test_preload_on_mesh_matches_serial(self, clips):
+        paths, _ = clips
+        devices = jax.devices()
+        if len(devices) < 2:
+            pytest.skip("needs multiple devices")
+        from spectrograms_tpu.parallel import create_device_mesh
+
+        mesh = create_device_mesh((len(devices),), ("data",), devices)
+        pipe = FeaturePipeline(
+            _plan(), batch_size=len(devices), target_seconds=1.0,
+            mesh=mesh, transport="int16",
+        )
+        serial = [np.asarray(b.masked()) for b in pipe.run(paths)]
+        pre = [np.asarray(b.masked())
+               for b in pipe.run(paths, preload=True)]
+        assert len(serial) == len(pre)
+        for s, p in zip(serial, pre):
+            np.testing.assert_array_equal(s, p)
+        # staged batches keep the data-parallel sharding
+        for b in pipe.run(paths, preload=True):
+            assert len(b.features.sharding.device_set) == len(devices)
