@@ -520,8 +520,19 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
     try:
         import subprocess
 
+        import jax
+
+        # The axon plugin force-overrides JAX_PLATFORMS in the env, so a
+        # CPU parent (smoke runs, pytest) must pin the child's backend
+        # the authoritative way (jax.config.update — see conftest.py);
+        # a TPU parent leaves the child on the default backend.
+        force_cpu = (
+            "jax.config.update('jax_platforms','cpu');"
+            if jax.default_backend() == "cpu" else ""
+        )
         child = (
             "import json,time;import numpy as np;import jax;"
+            + force_cpu +
             "import spectrograms_tpu as sg;"
             "from spectrograms_tpu.serving import FeaturePipeline;"
             f"sr={sr};paths={[str(p) for p in paths]!r};"
@@ -542,6 +553,13 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
             text=True, timeout=1500, cwd=str(Path(__file__).parent.parent),
         )
         lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            # Keep the failure diagnosable: a lost preload row must be
+            # tellable apart from a transport regression.
+            preload_row = {
+                "value": None,
+                "error": f"child rc={r.returncode}: {r.stderr[-400:]}",
+            }
         if lines:
             got = json.loads(lines[-1])
             preload_row = {
@@ -555,8 +573,8 @@ def config7_end_to_end(n_files: int = 256, reps: int = 3):
                 "cold_rate_incl_compile": got["cold_rate"],
                 "phases": got["phases"],
             }
-    except Exception:
-        preload_row = None
+    except Exception as e:
+        preload_row = {"value": None, "error": repr(e)}
 
     # Component rates, so the end-to-end wall is attributable: on this rig
     # the device sits behind a network tunnel whose per-program dispatch

@@ -2563,11 +2563,11 @@ class FeaturePipeline:
         ``preload=True`` uploads EVERY batch of the job to the device
         before dispatching the first program, then yields batches
         dispatching compute over the staged device arrays. On rigs whose
-        host→device path degrades once a program has executed (see
-        docs/serving.md, "The two-mode tunnel") this moves all transport
-        into the fast mode — measured ~6× end-to-end on the config-7
-        workload — and on any rig it keeps the link streaming without
-        interleaved dispatches. The whole job's input must fit device
+        host→device path degrades once a program has executed or loaded
+        (see docs/serving.md, "The two-mode tunnel") this moves all
+        transport into the fast mode — measured 4.9× end-to-end on the
+        config-7 workload — and on any rig it keeps the link streaming
+        without interleaved dispatches. The whole job's input must fit device
         memory (guarded by ``max_preload_bytes``); the win applies to
         the FIRST job in a process on two-mode rigs (the mode flip is
         process-permanent), so batch jobs should run one job per process

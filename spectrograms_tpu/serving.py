@@ -229,11 +229,11 @@ class FeaturePipeline:
         ``preload=True`` uploads EVERY batch of the job to the device
         before dispatching the first program, then yields batches
         dispatching compute over the staged device arrays. On rigs whose
-        host→device path degrades once a program has executed (see
-        docs/serving.md, "The two-mode tunnel") this moves all transport
-        into the fast mode — measured ~6× end-to-end on the config-7
-        workload — and on any rig it keeps the link streaming without
-        interleaved dispatches. The whole job's input must fit device
+        host→device path degrades once a program has executed or loaded
+        (see docs/serving.md, "The two-mode tunnel") this moves all
+        transport into the fast mode — measured 4.9× end-to-end on the
+        config-7 workload — and on any rig it keeps the link streaming
+        without interleaved dispatches. The whole job's input must fit device
         memory (guarded by ``max_preload_bytes``); the win applies to
         the FIRST job in a process on two-mode rigs (the mode flip is
         process-permanent), so batch jobs should run one job per process
@@ -391,7 +391,13 @@ class FeaturePipeline:
             try:
                 cache[key] = self._step.lower(aval).compile()
             except Exception:
-                cache[key] = None  # backend without AOT support
+                # Do NOT cache the failure: the remote compile helper has
+                # transient bad windows, and a poisoned entry would both
+                # disable the compile-after-staging ordering for every
+                # later pipeline sharing this plan and corrupt the
+                # compile_s attribution (the jit compile would then land
+                # inside the timed dispatch phase).
+                return None
         return cache[key]
 
     def _run_loader_preloaded(self, loader) -> Iterator[FeatureBatch]:
@@ -406,12 +412,35 @@ class FeaturePipeline:
         t0 = _time.perf_counter()
         on_cpu = jax.default_backend() == "cpu"
         staged = []
-        for data, lengths, _ in loader.iter_borrowed():
-            if on_cpu:
-                data = np.array(data)  # un-alias before the slot recycles
-            xb = self._upload(data)
-            jax.block_until_ready(xb)
-            staged.append((xb, np.array(lengths)))
+        if self.pipeline_uploads and not on_cpu:
+            # DMA-attached discipline: enqueue upload k+1 before blocking
+            # on k (two ring slots held) so the link never idles between
+            # staged batches.
+            pending = None
+            try:
+                for data, lengths, _ in loader.iter_borrowed(hold=2):
+                    xb = self._upload(data)
+                    prev, pending = pending, (xb, np.array(lengths))
+                    if prev is not None:
+                        jax.block_until_ready(prev[0])
+                        staged.append(prev)
+                if pending is not None:
+                    jax.block_until_ready(pending[0])
+                    staged.append(pending)
+                    pending = None
+            finally:
+                if pending is not None:
+                    # An error left a transfer in flight; wait for it
+                    # BEFORE iter_borrowed's cleanup releases the ring
+                    # slot the transfer is reading from.
+                    jax.block_until_ready(pending[0])
+        else:
+            for data, lengths, _ in loader.iter_borrowed():
+                if on_cpu:
+                    data = np.array(data)  # un-alias before the slot recycles
+                xb = self._upload(data)
+                jax.block_until_ready(xb)
+                staged.append((xb, np.array(lengths)))
         t_stage = _time.perf_counter()
         if not staged:
             self.last_preload_stats = {

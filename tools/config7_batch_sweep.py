@@ -76,12 +76,18 @@ def dispatch_floor_ms(k: int = 8) -> float:
 
 
 def upload_wall_ms(b: int, k: int = 5) -> float:
-    x16 = np.zeros((b, SR * 10), dtype=np.int16)
-    jax.block_until_ready(jnp.asarray(x16))  # warm transfer path
+    # NOVEL random data per rep: the two-mode-tunnel finding this sweep
+    # fed into (docs/serving.md) showed walls must never be measured by
+    # re-uploading one zeros buffer. (The committed sweep JSON predates
+    # the finding and is annotated accordingly.)
+    rng = np.random.default_rng(b)
+    mk = lambda: rng.integers(-3277, 3277, (b, SR * 10)).astype(np.int16)
+    jax.block_until_ready(jnp.asarray(mk()))  # warm transfer path
     ts = []
     for _ in range(k):
+        x = mk()
         t0 = time.perf_counter()
-        jax.block_until_ready(jnp.asarray(x16))
+        jax.block_until_ready(jnp.asarray(x))
         ts.append((time.perf_counter() - t0) * 1e3)
     ts.sort()
     return ts[len(ts) // 2]
@@ -113,7 +119,8 @@ def main() -> None:
         )
         up_ms = upload_wall_ms(b)
 
-        x16 = np.zeros((b, SR * 10), dtype=np.int16)
+        x16 = np.random.default_rng(b + 1).integers(
+            -3277, 3277, (b, SR * 10)).astype(np.int16)
         xb = jnp.asarray(x16)
         jax.block_until_ready(xb)
         jax.block_until_ready(pipe._step(xb))  # ensure compiled
