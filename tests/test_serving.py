@@ -554,3 +554,18 @@ class TestPreloadMode:
         # staged batches keep the data-parallel sharding
         for b in pipe.run(paths, preload=True):
             assert len(b.features.sharding.device_set) == len(devices)
+
+    def test_warm_preload_caches_aot_executable(self, clips):
+        paths, _ = clips
+        plan = _plan()
+        pipe = FeaturePipeline(
+            plan, batch_size=4, target_seconds=1.0, transport="int16",
+        )
+        assert pipe.warm_preload() is True
+        assert len(plan._aot_step_cache) == 1
+        # A second call reuses the cached executable (no new entry).
+        assert pipe.warm_preload() is True
+        assert len(plan._aot_step_cache) == 1
+        # The preload run picks the same executable up.
+        out = [np.asarray(b.masked()) for b in pipe.run(paths, preload=True)]
+        assert len(out) == 2 and len(plan._aot_step_cache) == 1
