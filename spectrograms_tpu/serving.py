@@ -251,8 +251,31 @@ class FeaturePipeline:
         )
         if preload:
             self._check_preload_budget(len(paths), max_preload_bytes)
+            self._warn_if_mode_already_flipped()
             return self._run_loader_preloaded(loader)
         return self._run_loader(loader)
+
+    def _warn_if_mode_already_flipped(self):
+        """Preload's fast-mode staging needs a process that has not
+        executed a program yet; autotune=True measures candidates at
+        construction (executes programs), so on two-mode rigs the win is
+        already gone — say so instead of silently under-delivering."""
+        if (
+            self.autotune_result is not None
+            and self.autotune_result.timings_ms  # {} == wisdom hit, no run
+        ):
+            import warnings
+
+            warnings.warn(
+                "preload=True on a pipeline whose autotune measured "
+                "candidates this construction: on rigs whose transfer "
+                "path degrades after any program execution (docs/"
+                "serving.md, two-mode tunnel), the measurement already "
+                "flipped the slow mode, so staging will not see the "
+                "fast-mode rates. Persist wisdom (save_wisdom/"
+                "load_wisdom) so restarts skip the measurement.",
+                stacklevel=3,
+            )
 
     def run_arrays(self, arrays: Sequence, sample_rates=None, *,
                    preload: bool = False,
@@ -294,6 +317,7 @@ class FeaturePipeline:
         )
         if preload:
             self._check_preload_budget(len(arrays), max_preload_bytes)
+            self._warn_if_mode_already_flipped()
             return self._run_loader_preloaded(loader)
         return self._run_loader(loader)
 

@@ -569,3 +569,26 @@ class TestPreloadMode:
         # The preload run picks the same executable up.
         out = [np.asarray(b.masked()) for b in pipe.run(paths, preload=True)]
         assert len(out) == 2 and len(plan._aot_step_cache) == 1
+
+    def test_preload_warns_when_autotune_measured(self, clips, tmp_path):
+        paths, _ = clips
+        import warnings as _w
+
+        from spectrograms_tpu.autotune import load_wisdom, save_wisdom
+
+        pipe = FeaturePipeline(
+            _plan(), batch_size=4, target_seconds=1.0, autotune=True,
+        )
+        assert pipe.autotune_result.timings_ms  # measured this construction
+        with pytest.warns(UserWarning, match="two-mode"):
+            list(pipe.run(paths, preload=True))
+        # With persisted wisdom the measurement is skipped -> no warning.
+        save_wisdom(tmp_path / "w.json")
+        load_wisdom(tmp_path / "w.json")
+        pipe2 = FeaturePipeline(
+            _plan(), batch_size=4, target_seconds=1.0, autotune=True,
+        )
+        assert not pipe2.autotune_result.timings_ms  # wisdom hit
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            list(pipe2.run(paths, preload=True))
