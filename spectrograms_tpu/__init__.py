@@ -359,8 +359,12 @@ __all__ = [
     "load_wisdom",
 ] + list(_functions_all)
 
-from .serving import FeaturePipeline, FeatureBatch  # noqa: E402
-__all__ += ["FeaturePipeline", "FeatureBatch"]
+from .serving import (  # noqa: E402
+    FeatureBatch,
+    FeaturePipeline,
+    FeatureSetBatch,
+)
+__all__ += ["FeaturePipeline", "FeatureBatch", "FeatureSetBatch"]
 
 from .featureset import FeatureSet  # noqa: E402
 __all__ += ["FeatureSet"]

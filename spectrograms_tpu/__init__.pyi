@@ -2548,6 +2548,12 @@ class AutotuneResult:
 class FeaturePipeline:
     """Stream WAV files through a plan at full device throughput.
 
+    ``plan`` may also be a :class:`~spectrograms_tpu.FeatureSet`: the
+    set's one fused program (shared decimation cascade included) runs
+    per batch, so multi-feature serving decodes, quantizes and uploads
+    the corpus ONCE; batches then arrive as :class:`FeatureSetBatch`
+    with per-member features and frame masks.
+
     >>> plan = sg.MelDbPlan(params, mel, db, dtype="float32")
     >>> pipe = FeaturePipeline(plan, batch_size=32, target_seconds=10.0)
     >>> for batch in pipe.run(paths):
@@ -2625,6 +2631,28 @@ class FeatureBatch:
 
     def masked(self):
         """Features with padding frames zeroed."""
+        ...
+
+
+class FeatureSetBatch:
+    """One served batch of a :class:`~spectrograms_tpu.FeatureSet`.
+
+    ``features`` holds one array per member, in member order;
+    ``frame_masks`` one host numpy mask per member (None for members
+    whose frame geometry is unknown, e.g. bare callables).
+    """
+    features: Any
+    lengths: Any
+    frame_masks: Any
+
+    @property
+    def batch_size(self):
+        ...
+
+    def masked(self):
+        """Per-member features with padding frames zeroed (members
+        without a known frame geometry are returned unmasked).
+        """
         ...
 
 

@@ -27,7 +27,7 @@ from .errors import InvalidInputError
 from .ops.framing import frame_count
 from .runtime.loader import AudioBatchLoader
 
-__all__ = ["FeatureBatch", "FeaturePipeline"]
+__all__ = ["FeatureBatch", "FeatureSetBatch", "FeaturePipeline"]
 
 
 @dataclass
@@ -54,8 +54,43 @@ class FeatureBatch:
         return self.features * mask[:, None, :]
 
 
+@dataclass
+class FeatureSetBatch:
+    """One served batch of a :class:`~spectrograms_tpu.FeatureSet`.
+
+    ``features`` holds one array per member, in member order;
+    ``frame_masks`` one host numpy mask per member (None for members
+    whose frame geometry is unknown, e.g. bare callables).
+    """
+
+    features: Tuple[jax.Array, ...]
+    lengths: np.ndarray
+    frame_masks: Tuple[Optional[np.ndarray], ...]
+
+    @property
+    def batch_size(self) -> int:
+        return self.features[0].shape[0]
+
+    def masked(self) -> Tuple[jax.Array, ...]:
+        """Per-member features with padding frames zeroed (members
+        without a known frame geometry are returned unmasked)."""
+        out = []
+        for f, m in zip(self.features, self.frame_masks):
+            if m is None:
+                out.append(f)
+            else:
+                out.append(f * jnp.asarray(m, dtype=f.dtype)[:, None, :])
+        return tuple(out)
+
+
 class FeaturePipeline:
     """Stream WAV files through a plan at full device throughput.
+
+    ``plan`` may also be a :class:`~spectrograms_tpu.FeatureSet`: the
+    set's one fused program (shared decimation cascade included) runs
+    per batch, so multi-feature serving decodes, quantizes and uploads
+    the corpus ONCE; batches then arrive as :class:`FeatureSetBatch`
+    with per-member features and frame masks.
 
     >>> plan = sg.MelDbPlan(params, mel, db, dtype="float32")
     >>> pipe = FeaturePipeline(plan, batch_size=32, target_seconds=10.0)
@@ -115,11 +150,48 @@ class FeaturePipeline:
         self.transport = transport
         self._i16 = transport == "int16"
         self._u8 = transport == "ulaw"
-        sr = (
-            float(sample_rate_hz)
-            if sample_rate_hz is not None
-            else float(plan.params.sample_rate_hz)
+        # A FeatureSet serves like a plan: its one jitted program runs
+        # every member over the batch (shared decimation cascade and
+        # all), so multi-feature serving decodes/uploads the corpus ONCE.
+        self._is_set = hasattr(plan, "_step_impl") and hasattr(
+            plan, "_members"
         )
+        if sample_rate_hz is not None:
+            sr = float(sample_rate_hz)
+        elif self._is_set:
+            def _rate_of(m):
+                # Rate lives in different places per plan family (like
+                # the stft geometry below).
+                for obj in (
+                    getattr(m, "params", None),
+                    m,
+                    getattr(getattr(m, "_mel_plan", None), "params", None),
+                    getattr(getattr(m, "_mag_plan", None), "params", None),
+                ):
+                    r = getattr(obj, "sample_rate_hz", None) or getattr(
+                        obj, "_sample_rate_hz", None
+                    )
+                    if r is not None:
+                        return float(r)
+                return None
+
+            rates = {
+                r for r in (_rate_of(m) for m in plan._members)
+                if r is not None
+            }
+            if len(rates) > 1:
+                raise InvalidInputError(
+                    f"FeatureSet members disagree on sample rate "
+                    f"({sorted(rates)}); pass sample_rate_hz= explicitly"
+                )
+            if not rates:
+                raise InvalidInputError(
+                    "FeatureSet of bare callables has no sample rate; "
+                    "pass sample_rate_hz="
+                )
+            sr = rates.pop()
+        else:
+            sr = float(plan.params.sample_rate_hz)
         self.sample_rate_hz = sr
         self.target_len = int(round(target_seconds * sr))
         if self.target_len <= 0:
@@ -134,6 +206,11 @@ class FeaturePipeline:
         # program is the same per-device computation with zero collectives,
         # and the full unsharded batch might not even fit one chip.
         self.autotune_result = None
+        if autotune and self._is_set:
+            raise InvalidInputError(
+                "autotune= is per-plan (it measures method= lowerings); "
+                "tune FeatureSet members individually before composing"
+            )
         if autotune:
             from .autotune import autotune_plan
 
@@ -149,17 +226,35 @@ class FeaturePipeline:
         if self._i16:
             inv = np.dtype(plan._dtype).type(1.0 / 32768.0)
 
-            def _row_forward(row_i16):
-                return plan._forward_impl(row_i16.astype(plan._dtype) * inv)
+            def _dequant(q):
+                return q.astype(plan._dtype) * inv
 
         elif self._u8:
             from .runtime.ulaw import ulaw_decode_jax
 
-            def _row_forward(row_u8):
-                return plan._forward_impl(ulaw_decode_jax(row_u8, plan._dtype))
+            def _dequant(q):
+                return ulaw_decode_jax(q, plan._dtype)
 
         else:
-            _row_forward = plan._forward_impl
+            _dequant = None
+
+        if self._is_set:
+            # Batch-level forward: the set's one fused program, with the
+            # transport dequant folded in front of it.
+            if _dequant is None:
+                _batch_forward = plan._step_impl
+            else:
+                def _batch_forward(xb):
+                    return plan._step_impl(_dequant(xb))
+        else:
+            if _dequant is None:
+                _row_forward = plan._forward_impl
+            else:
+                def _row_forward(row):
+                    return plan._forward_impl(_dequant(row))
+
+            def _batch_forward(xb):
+                return jax.vmap(_row_forward)(xb)
 
         self._sharding = None
         if mesh is not None:
@@ -174,7 +269,8 @@ class FeaturePipeline:
             # Cache the mesh-sharded step on the plan (like the non-mesh
             # int16 path): a per-instance closure would be a distinct jit
             # cache key per pipeline, and each distinct program is a
-            # 30-90 s remote compile on this rig.
+            # 30-90 s remote compile on this rig. (out_shardings is a
+            # prefix spec: it broadcasts over a FeatureSet's result tuple.)
             cache = getattr(plan, "_mesh_step_cache", None)
             if cache is None:
                 cache = plan._mesh_step_cache = {}
@@ -182,7 +278,7 @@ class FeaturePipeline:
             step = cache.get(key)
             if step is None:
                 step = jax.jit(
-                    jax.vmap(_row_forward),
+                    _batch_forward,
                     in_shardings=self._sharding,
                     out_shardings=self._sharding,
                 )
@@ -195,32 +291,87 @@ class FeaturePipeline:
             attr = "_i16_forward_batch" if self._i16 else "_u8_forward_batch"
             step = getattr(plan, attr, None)
             if step is None:
-                step = jax.jit(jax.vmap(_row_forward))
+                step = jax.jit(_batch_forward)
                 setattr(plan, attr, step)
             self._step = step
+        elif self._is_set:
+            self._step = plan._step  # the set's own jitted program
         else:
             self._step = plan._forward_batch
 
-        # Static per-pipeline frame geometry (fixed target_len ⇒ one jit shape).
-        stft = plan.params.stft
-        self._n_frames = frame_count(
-            self.target_len, stft.n_fft, stft.hop_size, stft.centre
-        )
-        self._hop = stft.hop_size
-        self._n_fft = stft.n_fft
-        self._centre = stft.centre
+        # Static per-pipeline frame geometry (fixed target_len ⇒ one jit
+        # shape). A FeatureSet carries one geometry PER member (masks are
+        # built per member; callables without a declared geometry get no
+        # mask).
+        if self._is_set:
+            def _stft_of(m):
+                # Geometry lives in different places per plan family:
+                # SpectrogramPlan subclasses carry params.stft, ChromaPlan
+                # a bare _stft_params, MfccPlan its inner mel plan.
+                st = getattr(getattr(m, "params", None), "stft", None)
+                if st is None:
+                    st = getattr(m, "_stft_params", None)
+                if st is None:
+                    inner = getattr(m, "_mel_plan", None)
+                    st = getattr(getattr(inner, "params", None), "stft", None)
+                return st
 
-    def _frame_mask(self, lengths: np.ndarray) -> np.ndarray:
+            self._member_geoms = []
+            for m in plan._members:
+                st = _stft_of(m)
+                self._member_geoms.append(
+                    None if st is None
+                    else (st.n_fft, st.hop_size, st.centre)
+                )
+        else:
+            stft = plan.params.stft
+            self._n_frames = frame_count(
+                self.target_len, stft.n_fft, stft.hop_size, stft.centre
+            )
+            self._hop = stft.hop_size
+            self._n_fft = stft.n_fft
+            self._centre = stft.centre
+
+    @staticmethod
+    def _mask_from(lengths, n_fft, hop, centre, n_frames) -> np.ndarray:
         """(B,) sample counts → (B, n_frames) bool of frames with real data."""
         n = np.asarray(lengths, dtype=np.int64)
-        pad = self._n_fft // 2 if self._centre else 0
+        pad = n_fft // 2 if centre else 0
         padded = n + 2 * pad
         # frame_count, vectorized (the scalar version is tested against it).
-        nf = np.where(
-            padded < self._n_fft, 1, (padded - self._n_fft) // self._hop + 1
+        nf = np.where(padded < n_fft, 1, (padded - n_fft) // hop + 1)
+        nf = np.where(n <= 0, 0, np.minimum(nf, n_frames))
+        return np.arange(n_frames)[None, :] < nf[:, None]
+
+    def _frame_mask(self, lengths: np.ndarray) -> np.ndarray:
+        return self._mask_from(
+            lengths, self._n_fft, self._hop, self._centre, self._n_frames
         )
-        nf = np.where(n <= 0, 0, np.minimum(nf, self._n_frames))
-        return np.arange(self._n_frames)[None, :] < nf[:, None]
+
+    def _make_batch(self, feats, lengths: np.ndarray):
+        """Wrap one step output in the right batch type."""
+        if self._is_set:
+            masks = []
+            for geom, f in zip(self._member_geoms, feats):
+                if geom is None or f.ndim < 2:
+                    masks.append(None)
+                else:
+                    # Mask width follows the member's ACTUAL output frames
+                    # (multirate members keep the full-rate grid, but a
+                    # custom member may not).
+                    masks.append(
+                        self._mask_from(lengths, *geom, f.shape[-1])
+                    )
+            return FeatureSetBatch(
+                features=tuple(feats),
+                lengths=lengths,
+                frame_masks=tuple(masks),
+            )
+        return FeatureBatch(
+            features=feats,
+            lengths=lengths,
+            frame_mask=self._frame_mask(lengths),
+        )
 
     def run(self, paths: Sequence, *, preload: bool = False,
             max_preload_bytes: int = 4 << 30) -> Iterator[FeatureBatch]:
@@ -484,11 +635,7 @@ class FeaturePipeline:
             "n_batches": len(staged),
         }
         for xb, lengths in staged:
-            yield FeatureBatch(
-                features=step(xb),
-                lengths=lengths,
-                frame_mask=self._frame_mask(lengths),
-            )
+            yield self._make_batch(step(xb), lengths)
 
     def _upload(self, data):
         """Enqueue the host→device transfer of one borrowed batch."""
@@ -511,12 +658,7 @@ class FeaturePipeline:
             # whole execution queue (~400 ms/batch measured over the axon
             # tunnel vs ~18 ms for the bare transfer).
             jax.block_until_ready(xb)
-        feats = self._step(xb)
-        return FeatureBatch(
-            features=feats,
-            lengths=lengths,
-            frame_mask=self._frame_mask(lengths),
-        )
+        return self._make_batch(self._step(xb), lengths)
 
     def throughput_report(self, paths: Sequence, *,
                           preload: bool = False) -> dict:
@@ -531,7 +673,7 @@ class FeaturePipeline:
             total_audio += float(batch.lengths.sum()) / self.sample_rate_hz
             last = batch
         if last is not None:
-            last.features.block_until_ready()
+            jax.block_until_ready(last.features)  # array or member tuple
         dt = time.perf_counter() - t0
         rep = {
             "audio_seconds": round(total_audio, 3),

@@ -592,3 +592,152 @@ class TestPreloadMode:
         with _w.catch_warnings():
             _w.simplefilter("error")
             list(pipe2.run(paths, preload=True))
+
+
+class TestFeatureSetServing:
+    """FeaturePipeline(FeatureSet) — multi-feature serving: one decode,
+    one upload, one fused program per batch."""
+
+    def _fset(self):
+        mel = sg.MelDbPlan(PARAMS, MEL, sg.LogParams(-80.0),
+                           dtype="float32")
+        lin = sg.LinearPowerPlan(PARAMS, dtype="float32")
+        return sg.FeatureSet([mel, lin]), mel, lin
+
+    def test_matches_manual_featureset_compute(self, clips):
+        paths, _ = clips
+        fset, mel, lin = self._fset()
+        pipe = FeaturePipeline(
+            fset, batch_size=4, target_seconds=1.0, transport="int16",
+        )
+        from spectrograms_tpu.runtime.loader import AudioBatchLoader
+
+        got = list(pipe.run(paths))
+        want = []
+        for data, lens, _ in AudioBatchLoader(
+            paths, batch_size=4, target_len=SR, expected_sample_rate=SR,
+            dtype="int16",
+        ).iter_borrowed():
+            x = data.astype(np.float32) / 32768.0
+            want.append((fset.compute_batch(x), np.array(lens)))
+        assert len(got) == len(want)
+        for batch, (ref, lens) in zip(got, want):
+            assert isinstance(batch.features, tuple)
+            assert len(batch.features) == 2
+            np.testing.assert_array_equal(batch.lengths, lens)
+            for f, r in zip(batch.features, ref):
+                np.testing.assert_allclose(
+                    np.asarray(f), np.asarray(r), rtol=1e-5, atol=1e-6
+                )
+
+    def test_masks_match_single_plan_pipeline(self, clips):
+        paths, _ = clips
+        fset, mel, _ = self._fset()
+        pipe = FeaturePipeline(fset, batch_size=4, target_seconds=1.0)
+        single = FeaturePipeline(mel, batch_size=4, target_seconds=1.0)
+        for b_set, b_one in zip(pipe.run(paths), single.run(paths)):
+            # same stft geometry ⇒ identical masks for both members
+            np.testing.assert_array_equal(b_set.frame_masks[0],
+                                          b_one.frame_mask)
+            np.testing.assert_array_equal(b_set.frame_masks[1],
+                                          b_one.frame_mask)
+            m0, m1 = b_set.masked()
+            assert m0.shape[0] == 4 and m1.shape[0] == 4
+
+    def test_preload_matches_serial(self, clips):
+        paths, _ = clips
+        fset, _, _ = self._fset()
+        pipe = FeaturePipeline(
+            fset, batch_size=4, target_seconds=1.0, transport="int16",
+        )
+        serial = [tuple(np.asarray(f) for f in b.features)
+                  for b in pipe.run(paths)]
+        pre = [tuple(np.asarray(f) for f in b.features)
+               for b in pipe.run(paths, preload=True)]
+        assert len(serial) == len(pre)
+        for s, p in zip(serial, pre):
+            for fs, fp in zip(s, p):
+                np.testing.assert_array_equal(fs, fp)
+        rep = pipe.throughput_report(paths, preload=True)
+        assert rep["audio_s_per_s"] > 0
+
+    def test_callable_member_gets_no_mask(self, clips):
+        paths, _ = clips
+        fset = sg.FeatureSet([
+            sg.MelDbPlan(PARAMS, MEL, sg.LogParams(-80.0), dtype="float32"),
+            lambda xb: xb[:, :100],  # custom stage, no declared geometry
+        ])
+        pipe = FeaturePipeline(
+            fset, batch_size=4, target_seconds=1.0,
+            sample_rate_hz=float(SR),
+        )
+        for batch in pipe.run(paths):
+            assert batch.frame_masks[0] is not None
+            assert batch.frame_masks[1] is None
+            masked = batch.masked()
+            assert masked[1].shape == (4, 100)
+
+    def test_sample_rate_validation(self):
+        mel = sg.MelDbPlan(PARAMS, MEL, sg.LogParams(-80.0),
+                           dtype="float32")
+        other = sg.MelDbPlan(
+            sg.SpectrogramParams(sg.StftParams(512, 128), 2.0 * SR),
+            MEL, sg.LogParams(-80.0), dtype="float32",
+        )
+        with pytest.raises(sg.InvalidInputError, match="disagree"):
+            FeaturePipeline(sg.FeatureSet([mel, other]),
+                            batch_size=4, target_seconds=1.0)
+        with pytest.raises(sg.InvalidInputError, match="sample rate"):
+            FeaturePipeline(sg.FeatureSet([lambda xb: xb]),
+                            batch_size=4, target_seconds=1.0)
+        with pytest.raises(sg.InvalidInputError, match="autotune"):
+            FeaturePipeline(sg.FeatureSet([mel]), batch_size=4,
+                            target_seconds=1.0, autotune=True)
+
+    def test_featureset_on_mesh(self, clips):
+        paths, _ = clips
+        devices = jax.devices()
+        if len(devices) < 2:
+            pytest.skip("needs multiple devices")
+        from spectrograms_tpu.parallel import create_device_mesh
+
+        fset, _, _ = self._fset()
+        mesh = create_device_mesh((len(devices),), ("data",), devices)
+        pipe = FeaturePipeline(
+            fset, batch_size=len(devices), target_seconds=1.0,
+            mesh=mesh, transport="int16",
+        )
+        ref = FeaturePipeline(
+            fset, batch_size=len(devices), target_seconds=1.0,
+            transport="int16",
+        )
+        for b_mesh, b_one in zip(pipe.run(paths), ref.run(paths)):
+            for fm, fo in zip(b_mesh.features, b_one.features):
+                assert len(fm.sharding.device_set) == len(devices)
+                np.testing.assert_allclose(
+                    np.asarray(fm), np.asarray(fo), rtol=1e-5, atol=1e-6
+                )
+
+    def test_mfcc_and_chroma_members_get_masks(self, clips):
+        paths, _ = clips
+        from spectrograms_tpu.mfcc import MfccPlan
+
+        mfcc = MfccPlan(
+            sg.StftParams(512, 128), float(SR), mel_params=MEL,
+            mfcc_params=sg.MfccParams(13), log_params=sg.LogParams(-80.0),
+            dtype="float32",
+        )
+        from spectrograms_tpu.chroma import ChromaPlan
+
+        chroma = ChromaPlan(
+            sg.StftParams(512, 128), float(SR),
+            sg.ChromaParams(f_min=65.4, f_max=4186.0), dtype="float32",
+        )
+        pipe = FeaturePipeline(
+            sg.FeatureSet([mfcc, chroma]), batch_size=4, target_seconds=1.0,
+        )
+        for batch in pipe.run(paths):
+            assert batch.frame_masks[0] is not None  # MfccPlan geometry found
+            assert batch.frame_masks[1] is not None  # ChromaPlan geometry found
+            np.testing.assert_array_equal(batch.frame_masks[0],
+                                          batch.frame_masks[1])
