@@ -83,6 +83,36 @@ class FeatureSetBatch:
         return tuple(out)
 
 
+def _plan_rate(m):
+    """Sample rate of a plan, wherever its family keeps it (params,
+    the plan itself, or an inner mel/magnitude plan)."""
+    for obj in (
+        getattr(m, "params", None),
+        m,
+        getattr(getattr(m, "_mel_plan", None), "params", None),
+        getattr(getattr(m, "_mag_plan", None), "params", None),
+    ):
+        r = getattr(obj, "sample_rate_hz", None) or getattr(
+            obj, "_sample_rate_hz", None
+        )
+        if r is not None:
+            return float(r)
+    return None
+
+
+def _plan_stft(m):
+    """STFT geometry of a plan, wherever its family keeps it:
+    SpectrogramPlan subclasses carry params.stft, ChromaPlan a bare
+    _stft_params, MfccPlan its inner mel plan."""
+    st = getattr(getattr(m, "params", None), "stft", None)
+    if st is None:
+        st = getattr(m, "_stft_params", None)
+    if st is None:
+        inner = getattr(m, "_mel_plan", None)
+        st = getattr(getattr(inner, "params", None), "stft", None)
+    return st
+
+
 class FeaturePipeline:
     """Stream WAV files through a plan at full device throughput.
 
@@ -159,24 +189,8 @@ class FeaturePipeline:
         if sample_rate_hz is not None:
             sr = float(sample_rate_hz)
         elif self._is_set:
-            def _rate_of(m):
-                # Rate lives in different places per plan family (like
-                # the stft geometry below).
-                for obj in (
-                    getattr(m, "params", None),
-                    m,
-                    getattr(getattr(m, "_mel_plan", None), "params", None),
-                    getattr(getattr(m, "_mag_plan", None), "params", None),
-                ):
-                    r = getattr(obj, "sample_rate_hz", None) or getattr(
-                        obj, "_sample_rate_hz", None
-                    )
-                    if r is not None:
-                        return float(r)
-                return None
-
             rates = {
-                r for r in (_rate_of(m) for m in plan._members)
+                r for r in (_plan_rate(m) for m in plan._members)
                 if r is not None
             }
             if len(rates) > 1:
@@ -191,7 +205,13 @@ class FeaturePipeline:
                 )
             sr = rates.pop()
         else:
-            sr = float(plan.params.sample_rate_hz)
+            r = _plan_rate(plan)
+            if r is None:
+                raise InvalidInputError(
+                    f"{type(plan).__name__} has no discoverable sample "
+                    "rate; pass sample_rate_hz="
+                )
+            sr = r
         self.sample_rate_hz = sr
         self.target_len = int(round(target_seconds * sr))
         if self.target_len <= 0:
@@ -246,7 +266,7 @@ class FeaturePipeline:
             else:
                 def _batch_forward(xb):
                     return plan._step_impl(_dequant(xb))
-        else:
+        elif hasattr(plan, "_forward_impl"):
             if _dequant is None:
                 _row_forward = plan._forward_impl
             else:
@@ -255,6 +275,17 @@ class FeaturePipeline:
 
             def _batch_forward(xb):
                 return jax.vmap(_row_forward)(xb)
+
+        else:
+            # Plans without a single-row impl (e.g. MfccPlan) expose a
+            # batched forward; calling it inside the transport jit
+            # inlines the traced computation.
+            fb = plan._forward_batch
+            if _dequant is None:
+                _batch_forward = fb
+            else:
+                def _batch_forward(xb):
+                    return fb(_dequant(xb))
 
         self._sharding = None
         if mesh is not None:
@@ -304,27 +335,20 @@ class FeaturePipeline:
         # built per member; callables without a declared geometry get no
         # mask).
         if self._is_set:
-            def _stft_of(m):
-                # Geometry lives in different places per plan family:
-                # SpectrogramPlan subclasses carry params.stft, ChromaPlan
-                # a bare _stft_params, MfccPlan its inner mel plan.
-                st = getattr(getattr(m, "params", None), "stft", None)
-                if st is None:
-                    st = getattr(m, "_stft_params", None)
-                if st is None:
-                    inner = getattr(m, "_mel_plan", None)
-                    st = getattr(getattr(inner, "params", None), "stft", None)
-                return st
-
             self._member_geoms = []
             for m in plan._members:
-                st = _stft_of(m)
+                st = _plan_stft(m)
                 self._member_geoms.append(
                     None if st is None
                     else (st.n_fft, st.hop_size, st.centre)
                 )
         else:
-            stft = plan.params.stft
+            stft = _plan_stft(plan)
+            if stft is None:
+                raise InvalidInputError(
+                    f"{type(plan).__name__} has no discoverable STFT "
+                    "geometry for frame masking"
+                )
             self._n_frames = frame_count(
                 self.target_len, stft.n_fft, stft.hop_size, stft.centre
             )

@@ -741,3 +741,25 @@ class TestFeatureSetServing:
             assert batch.frame_masks[1] is not None  # ChromaPlan geometry found
             np.testing.assert_array_equal(batch.frame_masks[0],
                                           batch.frame_masks[1])
+
+
+def test_pipeline_serves_mfcc_plan_directly(clips):
+    """MfccPlan (the flagship feature) through FeaturePipeline: sample
+    rate and frame geometry are discovered from its inner mel plan —
+    regression for the AttributeError found by tools/fset_serving_ab.py."""
+    from spectrograms_tpu.mfcc import MfccPlan
+
+    paths, _ = clips
+    mfcc = MfccPlan(
+        sg.StftParams(512, 128), float(SR), mel_params=MEL,
+        mfcc_params=sg.MfccParams(13), log_params=sg.LogParams(-80.0),
+        dtype="float32",
+    )
+    pipe = FeaturePipeline(mfcc, batch_size=4, target_seconds=1.0,
+                           transport="int16")
+    assert pipe.sample_rate_hz == float(SR)
+    got = list(pipe.run(paths))
+    assert len(got) == 2
+    for b in got:
+        assert b.features.shape[1] == 13
+        assert b.frame_mask.shape == (4, b.features.shape[2])
