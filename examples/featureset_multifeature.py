@@ -81,3 +81,20 @@ print("first-half top pitch classes :",
       [names[i] for i in np.argsort(first)[::-1][:3]])
 print("second-half top pitch classes:",
       [names[i] for i in np.argsort(second)[::-1][:3]])
+
+# Serving the same set (round-5 continuation): FeaturePipeline accepts a
+# FeatureSet directly — the corpus is decoded, quantized and uploaded
+# ONCE, and every batch runs this one fused program. See
+# docs/serving.md §Serving a FeatureSet; measured 1.9-3.0x vs separate
+# pipelines on a transport-bound rig (benchmarks/fset_serving_ab.json).
+from spectrograms_tpu.serving import FeaturePipeline
+
+pipe = FeaturePipeline(
+    sg.FeatureSet([cqt_plan, chroma_plan]), batch_size=4,
+    target_seconds=len(clip) / SR, transport="int16",
+)
+for served in pipe.run_arrays([np.asarray(b) for b in batch],
+                              sample_rates=int(SR)):
+    cqt_s, chroma_s = served.masked()
+    print("served  :", tuple(cqt_s.shape), tuple(chroma_s.shape),
+          "(one upload, one fused program)")
