@@ -46,7 +46,11 @@ def build_variants():
         np.random.default_rng(2).standard_normal(
             (BATCH, SR * SECONDS)).astype(np.float32)))
     params = sg.SpectrogramParams(sg.StftParams(N_FFT, HOP), float(SR))
-    cqt = sg.CqtParams(12, 7, 32.703)
+    # truncate=True pins the reference-parity clamped semantics this arm
+    # NAMES — since round 5 the bare default auto-elects the full-Q path,
+    # which silently made this arm identical to multi-max (caught when a
+    # rerun reported equal accuracy for "dense" and "multi-max").
+    cqt = sg.CqtParams(12, 7, 32.703, truncate=True)
 
     def plan_step(p):
         plan = sg.CqtPowerPlan(params, p, dtype="float32")
@@ -73,7 +77,7 @@ def accuracy_rows():
          + 0.5 * np.sin(2 * np.pi * 1046.5 * t)
          + 0.05 * rng.standard_normal(t.size))
     params = sg.SpectrogramParams(sg.StftParams(N_FFT, HOP), float(SR))
-    cqt = sg.CqtParams(12, 7, 32.703)
+    cqt = sg.CqtParams(12, 7, 32.703, truncate=True)  # pin the clamped arm
     with jax.enable_x64(True), jax.default_device(cpu):
         import warnings
 
