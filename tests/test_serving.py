@@ -763,3 +763,35 @@ def test_pipeline_serves_mfcc_plan_directly(clips):
     for b in got:
         assert b.features.shape[1] == 13
         assert b.frame_mask.shape == (4, b.features.shape[2])
+
+
+def test_served_multirate_member_mask_matches_frames(clips):
+    """A multirate chroma member keeps the full-rate frame grid, so its
+    served mask must line up with the decimated front end's actual
+    output frames."""
+    from spectrograms_tpu.chroma import ChromaPlan
+
+    paths, _ = clips
+    sr44 = 44100.0
+    chroma = ChromaPlan(
+        sg.StftParams(4096, 1024), sr44,
+        sg.ChromaParams.music_standard().with_multirate(),
+        dtype="float32",
+    )
+    mel44 = sg.MelDbPlan(
+        sg.SpectrogramParams(sg.StftParams(4096, 1024), sr44),
+        sg.MelParams(64, 0.0, sr44 / 2.0, sg.MelNorm.SLANEY),
+        sg.LogParams(-80.0), dtype="float32",
+    )
+    pipe = FeaturePipeline(
+        sg.FeatureSet([chroma, mel44]), batch_size=4, target_seconds=0.5,
+        transport="int16", on_rate_mismatch="resample",
+    )
+    assert chroma._decimation > 0  # the multirate path is what runs
+    for batch in pipe.run(paths):
+        for f, m in zip(batch.features, batch.frame_masks):
+            assert m is not None
+            assert m.shape == (4, f.shape[-1])
+        # full-rate grid: both members share the same geometry
+        np.testing.assert_array_equal(batch.frame_masks[0],
+                                      batch.frame_masks[1])
