@@ -611,41 +611,54 @@ class FeaturePipeline:
         t0 = _time.perf_counter()
         on_cpu = jax.default_backend() == "cpu"
         staged = []
-        if self.pipeline_uploads and not on_cpu:
-            # DMA-attached discipline: enqueue upload k+1 before blocking
-            # on k (two ring slots held) so the link never idles between
-            # staged batches.
-            pending = None
-            try:
-                for data, lengths, _ in loader.iter_borrowed(hold=2):
+        # A loader error (corrupt file -> IOError after the last good
+        # batch, rate-policy violation, ...) must keep the serial loop's
+        # ordering: the good prefix is served FIRST, then the error
+        # surfaces. Staging stops where the serial loop would have, the
+        # staged prefix is dispatched below, and the error re-raises
+        # after the last yielded batch
+        # (tests/test_serving.py::test_preload_corrupt_file_behaves_like_serial).
+        deferred_error = None
+        try:
+            if self.pipeline_uploads and not on_cpu:
+                # DMA-attached discipline: enqueue upload k+1 before
+                # blocking on k (two ring slots held) so the link never
+                # idles between staged batches.
+                pending = None
+                try:
+                    for data, lengths, _ in loader.iter_borrowed(hold=2):
+                        xb = self._upload(data)
+                        prev, pending = pending, (xb, np.array(lengths))
+                        if prev is not None:
+                            jax.block_until_ready(prev[0])
+                            staged.append(prev)
+                    if pending is not None:
+                        jax.block_until_ready(pending[0])
+                        staged.append(pending)
+                        pending = None
+                finally:
+                    if pending is not None:
+                        # An error left a transfer in flight; wait for it
+                        # BEFORE iter_borrowed's cleanup releases the ring
+                        # slot the transfer is reading from.
+                        jax.block_until_ready(pending[0])
+            else:
+                for data, lengths, _ in loader.iter_borrowed():
+                    if on_cpu:
+                        data = np.array(data)  # un-alias before the slot recycles
                     xb = self._upload(data)
-                    prev, pending = pending, (xb, np.array(lengths))
-                    if prev is not None:
-                        jax.block_until_ready(prev[0])
-                        staged.append(prev)
-                if pending is not None:
-                    jax.block_until_ready(pending[0])
-                    staged.append(pending)
-                    pending = None
-            finally:
-                if pending is not None:
-                    # An error left a transfer in flight; wait for it
-                    # BEFORE iter_borrowed's cleanup releases the ring
-                    # slot the transfer is reading from.
-                    jax.block_until_ready(pending[0])
-        else:
-            for data, lengths, _ in loader.iter_borrowed():
-                if on_cpu:
-                    data = np.array(data)  # un-alias before the slot recycles
-                xb = self._upload(data)
-                jax.block_until_ready(xb)
-                staged.append((xb, np.array(lengths)))
+                    jax.block_until_ready(xb)
+                    staged.append((xb, np.array(lengths)))
+        except Exception as e:
+            deferred_error = e
         t_stage = _time.perf_counter()
         if not staged:
             self.last_preload_stats = {
                 "stage_s": round(t_stage - t0, 4), "compile_s": 0.0,
                 "n_batches": 0,
             }
+            if deferred_error is not None:
+                raise deferred_error
             return
         # Phase 2: compile once (AOT, cached on the plan), then dispatch
         # over the staged arrays. Compile is once-per-process work and is
@@ -660,6 +673,8 @@ class FeaturePipeline:
         }
         for xb, lengths in staged:
             yield self._make_batch(step(xb), lengths)
+        if deferred_error is not None:
+            raise deferred_error
 
     def _upload(self, data):
         """Enqueue the host→device transfer of one borrowed batch."""

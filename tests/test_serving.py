@@ -795,3 +795,32 @@ def test_served_multirate_member_mask_matches_frames(clips):
         # full-rate grid: both members share the same geometry
         np.testing.assert_array_equal(batch.frame_masks[0],
                                       batch.frame_masks[1])
+
+
+def test_preload_corrupt_file_behaves_like_serial(clips, tmp_path):
+    """A corrupt file mid-corpus: preload must surface the same IOError
+    discipline as the serial loop (good batches first, then the error),
+    and never yield features for the bad row."""
+    paths, _ = clips
+    bad = tmp_path / "corrupt.wav"
+    bad.write_bytes(b"RIFFgarbage-not-a-wav-file")
+    mixed = list(paths[:4]) + [bad] + list(paths[4:])
+    pipe = FeaturePipeline(_plan(), batch_size=4, target_seconds=1.0,
+                           transport="int16")
+
+    def collect(preload):
+        got, err = [], None
+        try:
+            for b in pipe.run(mixed, preload=preload):
+                got.append((np.asarray(b.lengths), np.asarray(b.masked())))
+        except IOError as e:
+            err = e
+        return got, err
+
+    serial_got, serial_err = collect(False)
+    pre_got, pre_err = collect(True)
+    assert (serial_err is None) == (pre_err is None)
+    assert len(serial_got) == len(pre_got)
+    for (ls, fs), (lp, fp) in zip(serial_got, pre_got):
+        np.testing.assert_array_equal(ls, lp)
+        np.testing.assert_array_equal(fs, fp)
